@@ -1,0 +1,463 @@
+"""Unit tests for compute ops vs dense/naive reference implementations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nersemble_tpu.ops.distortion import distortion_loss, distortion_loss_reference
+from nersemble_tpu.ops.hash_encoding import (
+    HashGridLevels,
+    hash_encode,
+    hash_encode_blended,
+    hash_grid_indices,
+    init_hash_table,
+)
+from nersemble_tpu.ops.hash_ensemble import effective_blend_code
+from nersemble_tpu.ops.losses import (
+    alpha_loss,
+    depth_loss,
+    empty_loss,
+    masked_rgb_loss,
+    near_loss,
+)
+from nersemble_tpu.ops.mlp import apply_mlp, init_mlp
+from nersemble_tpu.ops.posenc import posenc_out_dim, windowed_posenc
+from nersemble_tpu.ops.rendering import (
+    render_accumulation,
+    render_depth_expected,
+    render_rgb,
+    render_weights,
+)
+from nersemble_tpu.ops.sampling import (
+    march_rays,
+    occupancy_lookup,
+    ray_aabb_intersect,
+)
+from nersemble_tpu.ops.sh import sh_encoding
+from nersemble_tpu.ops.trunc_exp import trunc_exp
+
+
+def test_trunc_exp():
+    x = jnp.array([-20.0, 0.0, 2.0, 20.0])
+    y = trunc_exp(x)
+    assert np.allclose(np.asarray(y), np.exp(np.asarray(x)), rtol=1e-5)
+    g = jax.grad(lambda v: trunc_exp(v).sum())(x)
+    # gradient clamped at |x| = 15
+    assert np.allclose(np.asarray(g),
+                       np.exp(np.clip(np.asarray(x), -15, 15)), rtol=1e-5)
+
+
+def test_windowed_posenc_layout():
+    x = jnp.array([[0.1, 0.2, 0.3]])
+    out = windowed_posenc(x, num_frequencies=4, include_input=True)
+    assert out.shape == (1, posenc_out_dim(3, 4, True))
+    # manual: d-major (d0f0, d0f1, ..., d2f3), sin then cos, then 2*pi*x
+    scaled = 2 * np.pi * np.asarray(x)
+    freqs = 2.0 ** np.linspace(0, 3, 4)
+    angles = (scaled[..., None] * freqs).reshape(1, -1)
+    expected = np.concatenate([np.sin(angles), np.cos(angles), scaled], axis=-1)
+    assert np.allclose(np.asarray(out), expected, atol=1e-5)
+
+    # full window == no window
+    w_full = windowed_posenc(x, 4, window_param=4.0)
+    assert np.allclose(np.asarray(w_full), np.asarray(out), atol=1e-6)
+    # zero window kills all bands but keeps the raw input
+    w_zero = np.asarray(windowed_posenc(x, 4, window_param=0.0))
+    assert np.allclose(w_zero[:, :-3], 0.0, atol=1e-6)
+    assert np.allclose(w_zero[:, -3:], scaled, atol=1e-5)
+
+
+def test_sh_unit_power():
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(64, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    y = np.asarray(sh_encoding(jnp.asarray(d), 4))
+    assert y.shape == (64, 16)
+    # sum over m of Y_lm^2 == (2l+1)/(4pi) for each band l
+    for l, sl in [(0, slice(0, 1)), (1, slice(1, 4)), (2, slice(4, 9)), (3, slice(9, 16))]:
+        power = (y[:, sl] ** 2).sum(-1)
+        assert np.allclose(power, (2 * l + 1) / (4 * np.pi), atol=1e-4), l
+
+
+def test_mlp_shapes_and_skip():
+    rng = jax.random.PRNGKey(0)
+    params = init_mlp(rng, in_dim=10, out_dim=5, num_layers=6, layer_width=32,
+                      skip_connections=(4,))
+    x = jnp.ones((7, 10))
+    out = apply_mlp(params, x)
+    assert out.shape == (7, 5)
+    assert out.dtype == jnp.float32
+    # single-layer MLP == plain linear
+    p1 = init_mlp(rng, 8, 3, num_layers=1, layer_width=64)
+    assert p1["layers"][0]["w"].shape == (8, 3)
+    # out_init_scale makes output near zero
+    p2 = init_mlp(rng, 8, 3, num_layers=2, layer_width=16, out_init_scale=1e-5)
+    out2 = apply_mlp(p2, jnp.ones((4, 8)))
+    assert np.abs(np.asarray(out2)).max() < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Hash encoding
+# ---------------------------------------------------------------------------
+
+def _naive_hash_encode(table, x, levels):
+    """Straightforward per-level, per-sample trilerp reference (numpy)."""
+    table = np.asarray(table)
+    x = np.asarray(x)
+    C = table.shape[0]
+    N = x.shape[0]
+    F = table.shape[-1]
+    out = np.zeros((N, C, levels.n_levels, F), np.float32)
+    for l in range(levels.n_levels):
+        scale = levels.scales[l]
+        res = levels.resolutions[l]
+        pos = x * scale + 0.5
+        g0 = np.floor(pos).astype(np.int64)
+        w = pos - g0
+        for corner in range(8):
+            off = np.array([(corner >> b) & 1 for b in range(3)])
+            cc = np.clip(g0 + off, 0, res - 1)
+            if levels.hashed[l]:
+                idx = ((cc[:, 0].astype(np.uint32) * np.uint32(1))
+                       ^ (cc[:, 1].astype(np.uint32) * np.uint32(2654435761))
+                       ^ (cc[:, 2].astype(np.uint32) * np.uint32(805459861)))
+                idx = (idx & np.uint32(2 ** levels.log2_hashmap_size - 1)).astype(np.int64)
+            else:
+                idx = cc[:, 0] + res * (cc[:, 1] + res * cc[:, 2])
+            weight = np.prod(np.where(off == 1, w, 1 - w), axis=-1)
+            out[:, :, l] += weight[:, None, None] * table[:, levels.offsets[l] + idx].transpose(1, 0, 2)
+    return out  # [N, C, L, F]
+
+
+@pytest.fixture(scope="module")
+def small_levels():
+    # includes both dense and hashed levels (res 5..33, hash from res^3 > 2^10)
+    return HashGridLevels.create(n_levels=6, log2_hashmap_size=10,
+                                 base_resolution=4, per_level_scale=1.5)
+
+
+def test_hash_levels_structure(small_levels):
+    lv = small_levels
+    assert lv.n_levels == 6
+    assert lv.resolutions[0] == 5
+    assert not lv.hashed[0] and lv.sizes[0] == 125
+    assert any(lv.hashed)
+    for l in range(6):
+        if lv.hashed[l]:
+            assert lv.sizes[l] == 1024
+    assert lv.total_entries == sum(lv.sizes)
+    assert lv.offsets[-1] == sum(lv.sizes[:-1])
+
+
+def test_hash_encode_matches_naive(small_levels):
+    rng = jax.random.PRNGKey(1)
+    table = init_hash_table(rng, small_levels, n_tables=2, features_per_entry=4)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (17, 3))
+    out = np.asarray(hash_encode(table, x, small_levels))
+    ref = _naive_hash_encode(table, x, small_levels).reshape(17, -1)
+    assert out.shape == (17, 2 * 6 * 4)
+    assert np.allclose(out, ref, atol=1e-5)
+
+
+def test_hash_encode_blended_matches_einsum(small_levels):
+    # C=2 physical tables, F_phys=4, F_logical=2 -> P=2, H=4 logical tables
+    rng = jax.random.PRNGKey(3)
+    table = init_hash_table(rng, small_levels, n_tables=2, features_per_entry=4)
+    N = 11
+    x = jax.random.uniform(jax.random.PRNGKey(4), (N, 3))
+    code = jax.random.normal(jax.random.PRNGKey(5), (N, 4))
+
+    out = np.asarray(hash_encode_blended(table, x, code, small_levels,
+                                         features_per_logical=2))
+    assert out.shape == (N, 6 * 2)
+
+    # reference path: full embeddings then the reference's rearrange + einsum
+    # (hash_ensemble.py:112,156): [N, C, L*F_phys] -> [N, L*Fl, C*P] -> blend
+    emb = _naive_hash_encode(table, x, small_levels)  # [N, C, L, F_phys]
+    L, Fl, P, C = 6, 2, 2, 2
+    emb = emb.reshape(N, C, L, P, Fl)
+    emb = np.einsum("nclpf->nlfcp", emb).reshape(N, L * Fl, C * P)
+    expected = np.einsum("ndh,nh->nd", emb, np.asarray(code))
+    assert np.allclose(out, expected, atol=1e-4)
+
+
+def test_hash_encode_gradients(small_levels):
+    rng = jax.random.PRNGKey(6)
+    table = init_hash_table(rng, small_levels, n_tables=1, features_per_entry=2)
+    x = jax.random.uniform(jax.random.PRNGKey(7), (5, 3), minval=0.1, maxval=0.9)
+
+    def loss_t(t):
+        return jnp.sum(hash_encode(t, x, small_levels) ** 2)
+
+    g_table = jax.grad(loss_t)(table)
+    assert np.isfinite(np.asarray(g_table)).all()
+    assert np.abs(np.asarray(g_table)).sum() > 0
+
+    def loss_x(xx):
+        return jnp.sum(hash_encode(table, xx, small_levels) ** 2)
+
+    g_x = jax.grad(loss_x)(x)
+    assert np.isfinite(np.asarray(g_x)).all()
+    assert np.abs(np.asarray(g_x)).sum() > 0  # gradients flow to positions
+
+
+def test_effective_blend_code():
+    code = jnp.array([[0.5, -0.2, 0.3, 0.1]])
+    H = 4
+    # no window -> unchanged
+    assert np.allclose(np.asarray(effective_blend_code(code, None, H)), np.asarray(code))
+    # w=1, disable_initial: all-ones code, window keeps only table 0
+    out = np.asarray(effective_blend_code(code, 1.0, H,
+                                          disable_initial_hash_ensemble=True,
+                                          use_soft_transition=True))
+    assert out[0, 0] == pytest.approx(1.0)
+    assert np.allclose(out[0, 1:], 0.0, atol=1e-6)
+    # w=1.5, soft transition: first entry lerped halfway, table1 half-windowed
+    out = np.asarray(effective_blend_code(code, 1.5, H,
+                                          disable_initial_hash_ensemble=True,
+                                          use_soft_transition=True))
+    assert out[0, 0] == pytest.approx(0.5 * 0.5 + 0.5 * 1.0)
+    assert out[0, 1] == pytest.approx(0.5 * (-0.2) * 0.5)  # alpha * code * hann(0.5)
+    # w=H: full window, raw code
+    out = np.asarray(effective_blend_code(code, float(H), H,
+                                          disable_initial_hash_ensemble=True,
+                                          use_soft_transition=True))
+    assert np.allclose(out, np.asarray(code), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Rendering
+# ---------------------------------------------------------------------------
+
+def test_render_weights_matches_cumprod_reference():
+    rng = np.random.default_rng(3)
+    R, S = 4, 16
+    sigmas = jnp.asarray(rng.uniform(0, 50, (R, S)).astype(np.float32))
+    t0 = jnp.asarray(np.cumsum(rng.uniform(0.01, 0.02, (R, S)), axis=1).astype(np.float32))
+    t1 = t0 + 0.01
+    mask = jnp.asarray(rng.uniform(size=(R, S)) > 0.3)
+
+    w, trans = render_weights(sigmas, t0, t1, mask)
+    w = np.asarray(w)
+
+    # reference: alpha compositing with cumprod over valid samples only
+    sig = np.asarray(sigmas) * np.asarray(mask)
+    delta = np.asarray(t1 - t0)
+    alpha = 1 - np.exp(-sig * delta)
+    T = np.cumprod(np.concatenate([np.ones((R, 1)), 1 - alpha[:, :-1]], axis=1), axis=1)
+    expected = T * alpha
+    assert np.allclose(w, expected * np.asarray(mask), atol=1e-5)
+    assert (w[~np.asarray(mask)] == 0).all()
+    assert (w.sum(1) <= 1 + 1e-5).all()
+
+
+def test_renderers():
+    R, S = 2, 8
+    sigmas = jnp.full((R, S), 1e4)  # opaque
+    t0 = jnp.tile(jnp.arange(S, dtype=jnp.float32)[None] * 0.1 + 1.0, (R, 1))
+    t1 = t0 + 0.1
+    mask = jnp.ones((R, S), bool)
+    w, _ = render_weights(sigmas, t0, t1, mask)
+    rgbs = jnp.ones((R, S, 3)) * 0.25
+    bg = jnp.ones((3,))
+    rgb = np.asarray(render_rgb(w, rgbs, bg))
+    assert np.allclose(rgb, 0.25, atol=1e-4)  # fully opaque -> no background
+    depth = np.asarray(render_depth_expected(w, t0, t1))
+    assert np.allclose(depth, 1.05, atol=1e-3)  # first sample's midpoint
+    acc = np.asarray(render_accumulation(w))
+    assert np.allclose(acc, 1.0, atol=1e-5)
+
+    # empty rays -> background
+    w0, _ = render_weights(jnp.zeros((R, S)), t0, t1, mask)
+    rgb0 = np.asarray(render_rgb(w0, rgbs, bg))
+    assert np.allclose(rgb0, 1.0, atol=1e-6)
+
+
+def test_distortion_loss_matches_quadratic():
+    rng = np.random.default_rng(5)
+    R, S = 3, 32
+    w = jnp.asarray(rng.uniform(0, 0.1, (R, S)).astype(np.float32))
+    t0 = jnp.asarray(np.sort(rng.uniform(0, 1, (R, S)), axis=1).astype(np.float32))
+    t1 = t0 + 0.01
+    mask = jnp.asarray(rng.uniform(size=(R, S)) > 0.2)
+
+    loss = float(distortion_loss(w, t0, t1, mask))
+    per_ray = []
+    for r in range(R):
+        m = np.asarray(mask[r])
+        wr = np.asarray(w[r]) * m
+        mids = np.asarray((t0[r] + t1[r]) * 0.5)
+        deltas = np.asarray(t1[r] - t0[r]) * m
+        per_ray.append(float(distortion_loss_reference(
+            jnp.asarray(wr), jnp.asarray(mids), jnp.asarray(deltas))))
+    assert loss == pytest.approx(np.mean(per_ray), rel=1e-4)
+
+    # ray_mask subsetting
+    ray_mask = jnp.array([True, False, False])
+    loss0 = float(distortion_loss(w, t0, t1, mask, ray_mask))
+    assert loss0 == pytest.approx(per_ray[0], rel=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+def test_masked_rgb_loss():
+    pred = jnp.array([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0]])
+    gt = jnp.array([[1.0, 1.0, 1.0], [1.0, 1.0, 1.0]])
+    alpha = jnp.array([0.9, 0.1])
+    # unmasked: mean over all 6 elements = 0.5
+    assert float(masked_rgb_loss(pred, gt, alpha, False, 0.5)) == pytest.approx(0.5)
+    # masked (alpha > 0.5): only ray 0 -> loss 1.0
+    assert float(masked_rgb_loss(pred, gt, alpha, True, 0.5)) == pytest.approx(1.0)
+
+
+def test_alpha_loss():
+    acc = jnp.array([[0.8], [0.3], [0.5]])
+    alpha = jnp.array([1.0, 0.0, 0.5])  # ray 0 is pure foreground -> excluded
+    expected = (abs(0.3 - 0.0) + abs(0.5 - 0.5)) / 2
+    assert float(alpha_loss(acc, alpha)) == pytest.approx(expected)
+
+
+def test_empty_and_near_loss():
+    R, S = 1, 4
+    t0 = jnp.array([[0.1, 0.2, 0.3, 0.4]])
+    t1 = t0 + 0.1
+    mask = jnp.ones((R, S), bool)
+    w = jnp.array([[0.1, 0.2, 0.3, 0.1]])
+    depth = jnp.array([0.5])  # mids: 0.15,0.25,0.35,0.45
+    eps = 0.15
+    # empty: mids < 0.35 -> samples 0,1 -> mean(w^2)
+    el = float(empty_loss(w, t0, t1, mask, depth, eps))
+    assert el == pytest.approx((0.1 ** 2 + 0.2 ** 2) / 2)
+    # near: |mid - 0.5| <= 0.15 -> samples 2 (0.35) and 3 (0.45)
+    nl = float(near_loss(w, t0, t1, mask, depth, eps))
+    import scipy.stats as st
+    std = (eps / 3) ** 2
+    cum = np.cumsum(np.asarray(w[0]))
+    exp2 = st.norm.cdf((0.35 - 0.5) / std)
+    exp3 = st.norm.cdf((0.45 - 0.5) / std)
+    expected = ((cum[2] - exp2) ** 2 + (cum[3] - exp3) ** 2) / 2
+    assert nl == pytest.approx(expected, rel=1e-4)
+    # invalid depth -> zero losses
+    assert float(empty_loss(w, t0, t1, mask, jnp.zeros(1), eps)) == 0.0
+    assert float(near_loss(w, t0, t1, mask, jnp.zeros(1), eps)) == 0.0
+
+
+def test_depth_loss():
+    pred = jnp.array([[0.5], [1.0]])
+    gt = jnp.array([0.7, 0.0])  # second ray invalid
+    assert float(depth_loss(pred, gt)) == pytest.approx(0.04)
+
+
+# ---------------------------------------------------------------------------
+# Sampling
+# ---------------------------------------------------------------------------
+
+def test_ray_aabb_intersect():
+    aabb_min = jnp.array([-1.0, -1.0, -1.0])
+    aabb_max = jnp.array([1.0, 1.0, 1.0])
+    o = jnp.array([[-5.0, 0.0, 0.0], [0.0, 0.0, 5.0], [5.0, 5.0, 5.0]])
+    d = jnp.array([[1.0, 0.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+    t_near, t_far = ray_aabb_intersect(o, d, aabb_min, aabb_max)
+    assert np.allclose(np.asarray(t_near)[:2], [4.0, 4.0], atol=1e-5)
+    assert np.allclose(np.asarray(t_far)[:2], [6.0, 6.0], atol=1e-5)
+    assert float(t_near[2]) > float(t_far[2])  # miss
+
+
+def test_occupancy_lookup():
+    binaries = jnp.zeros((4, 4, 4), bool).at[0, 0, 0].set(True).at[3, 3, 3].set(True)
+    aabb_min = jnp.zeros(3)
+    aabb_max = jnp.ones(3) * 4
+    pts = jnp.array([[0.5, 0.5, 0.5], [3.5, 3.5, 3.5], [1.5, 0.5, 0.5],
+                     [-1.0, 0.0, 0.0]])
+    occ = np.asarray(occupancy_lookup(binaries, pts, aabb_min, aabb_max))
+    assert occ.tolist() == [True, True, False, False]
+
+
+def test_march_rays_dense_and_compaction():
+    aabb_min = jnp.array([0.0, 0.0, 0.0])
+    aabb_max = jnp.array([1.0, 1.0, 1.0])
+    o = jnp.array([[-1.0, 0.5, 0.5]])
+    d = jnp.array([[1.0, 0.0, 0.0]])
+    step = 0.1
+    samples, info = march_rays(o, d, aabb_min, aabb_max, step,
+                               n_candidates=32, max_samples_per_ray=16)
+    # ray crosses [1.0, 2.0]: 10 samples of width 0.1
+    n = int(info["n_samples_per_ray"][0])
+    assert n == 10
+    t0 = np.asarray(samples.t_starts[0])[:n]
+    assert np.allclose(t0, 1.0 + np.arange(10) * step, atol=1e-5)
+    assert np.all(np.diff(t0) > 0)  # ascending after compaction
+
+    # occupancy: only x in [0.5, 1.0] occupied -> half the samples survive
+    binaries = jnp.zeros((2, 2, 2), bool).at[1, :, :].set(True)
+    samples2, info2 = march_rays(o, d, aabb_min, aabb_max, step,
+                                 n_candidates=32, max_samples_per_ray=16,
+                                 binaries=binaries)
+    n2 = int(info2["n_samples_per_ray"][0])
+    assert n2 == 5
+    mids = np.asarray((samples2.t_starts + samples2.t_ends)[0] * 0.5)[:n2]
+    assert (mids > 1.5).all()  # world x > 0.5 along the ray
+
+    # overflow accounting
+    samples3, info3 = march_rays(o, d, aabb_min, aabb_max, step,
+                                 n_candidates=32, max_samples_per_ray=4)
+    assert int(info3["n_samples_per_ray"][0]) == 4
+    assert int(info3["n_dropped_per_ray"][0]) == 6
+
+
+def test_march_rays_jitter_stratified():
+    aabb_min = jnp.zeros(3)
+    aabb_max = jnp.ones(3)
+    o = jnp.array([[-1.0, 0.5, 0.5]])
+    d = jnp.array([[1.0, 0.0, 0.0]])
+    jitter = jnp.array([0.5])
+    samples, _ = march_rays(o, d, aabb_min, aabb_max, 0.1, 16, 8, jitter=jitter)
+    assert float(samples.t_starts[0, 0]) == pytest.approx(1.05, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Occupancy grid updates
+# ---------------------------------------------------------------------------
+
+def test_occupancy_update_and_binaries():
+    from nersemble_tpu.ops.occupancy import (
+        occupancy_binaries,
+        update_occupancy_grid,
+    )
+
+    G = 8
+    aabb_min = jnp.zeros(3)
+    aabb_max = jnp.ones(3)
+    occs = jnp.zeros(G ** 3)
+
+    def occ_eval_fn(positions, rng):
+        # density high in the x > 0.5 half
+        return jnp.where(positions[:, 0] > 0.5, 1.0, 0.0)
+
+    occs = update_occupancy_grid(occs, occ_eval_fn, jax.random.PRNGKey(0),
+                                 G, aabb_min, aabb_max, occ_thre=1e-2,
+                                 ema_decay=0.95, warmup=True)
+    binaries = np.asarray(occupancy_binaries(occs, 1e-2)).reshape(G, G, G)
+    assert binaries[G // 2 + 1:, :, :].all()
+    assert not binaries[:G // 2 - 1, :, :].any()
+
+    # EMA decay: a cell that goes empty decays multiplicatively
+    occs2 = update_occupancy_grid(occs, lambda p, r: jnp.zeros(p.shape[0]),
+                                  jax.random.PRNGKey(1), G, aabb_min, aabb_max,
+                                  occ_thre=1e-2, ema_decay=0.5, warmup=True)
+    assert np.allclose(np.asarray(occs2), np.asarray(occs) * 0.5)
+
+    # sampled (non-warmup) update compiles and keeps shape
+    occs3 = update_occupancy_grid(occs, occ_eval_fn, jax.random.PRNGKey(2),
+                                  G, aabb_min, aabb_max, occ_thre=1e-2,
+                                  ema_decay=0.95, warmup=False)
+    assert occs3.shape == occs.shape
+
+    # frustum grid ANDed in
+    frustum = np.zeros((G, G, G), bool)
+    frustum[0] = True
+    b2 = np.asarray(occupancy_binaries(occs, 1e-2, jnp.asarray(frustum)))
+    assert not b2[1:].any()
