@@ -260,6 +260,7 @@ class DataConfig(ConfigBase):
     scale_factor: float = 1.0
 
     foreground_only: bool = True
+    use_view_frustum_culling: bool = True
     use_depth_maps: bool = False
     use_color_correction: bool = True
     use_alpha_maps: bool = False

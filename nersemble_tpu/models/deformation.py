@@ -1,0 +1,66 @@
+"""SE(3) deformation field: warp deformed-space samples into canonical space.
+
+Reference: src/nersemble/nerfstudio/field_components/deformation_field.py:32-166.
+Windowed positional encoding of AABB-normalized positions + a per-timestep warp
+code feed a skip-connection MLP stem; two linear heads emit the rotational (r)
+and translational (v) parts of a screw axis whose exponential warps the point.
+Heads are initialized near zero so the warp starts at the identity.
+
+Functional: params are a plain pytree; ``deformation_offsets`` is pure and
+differentiable, computed in bf16 for the MLP and f32 for the screw math.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from nersemble_tpu.config import SE3DeformationFieldConfig
+from nersemble_tpu.ops.mlp import apply_mlp, init_linear, init_mlp
+from nersemble_tpu.ops.posenc import posenc_out_dim, windowed_posenc
+from nersemble_tpu.utils.se3 import se3_apply
+
+
+def init_deformation_field(rng, config: SE3DeformationFieldConfig):
+    enc_dim = posenc_out_dim(3, config.n_freq_pos, include_input=True)
+    in_dim = enc_dim + config.warp_code_dim
+    stem_rng, r_rng, v_rng = jax.random.split(rng, 3)
+    return {
+        "stem": init_mlp(stem_rng, in_dim, config.mlp_layer_width,
+                         config.mlp_num_layers, config.mlp_layer_width,
+                         skip_connections=tuple(config.skip_connections)),
+        # near-identity init (reference: deformation_field.py:72-75)
+        "head_r": init_linear(r_rng, config.mlp_layer_width, 3,
+                              weight_init_scale=1e-5),
+        "head_v": init_linear(v_rng, config.mlp_layer_width, 3,
+                              weight_init_scale=1e-5),
+    }
+
+
+def deformation_offsets(params,
+                        positions_normalized: jnp.ndarray,
+                        warp_code: jnp.ndarray,
+                        config: SE3DeformationFieldConfig,
+                        window_param=None,
+                        compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[..., 3] AABB-normalized positions + [..., D] warp codes -> offsets.
+
+    Offsets are expressed in normalized-space units and NaN-guarded to zero
+    (reference: deformation_field.py:101-102 falls back to the unwarped point).
+    """
+    from nersemble_tpu.ops.mlp import apply_linear
+
+    enc = windowed_posenc(positions_normalized, config.n_freq_pos,
+                          min_freq_exp=0.0, max_freq_exp=config.n_freq_pos - 1,
+                          include_input=True, window_param=window_param)
+    feat = apply_mlp(params["stem"],
+                     jnp.concatenate([enc, warp_code.astype(enc.dtype)], axis=-1),
+                     out_activation=jax.nn.relu, compute_dtype=compute_dtype)
+    r = apply_linear(params["head_r"], feat, compute_dtype).astype(jnp.float32)
+    v = apply_linear(params["head_v"], feat, compute_dtype).astype(jnp.float32)
+    screw = jnp.concatenate([v, r], axis=-1)  # [v, r] ordering like pytorch3d
+
+    pos32 = positions_normalized.astype(jnp.float32)
+    warped = se3_apply(screw, pos32)
+    warped = jnp.where(jnp.isnan(warped), pos32, warped)
+    return warped - pos32

@@ -1,0 +1,287 @@
+"""The NeRSemble dynamic radiance-field model (functional orchestrator).
+
+Reference: src/nersemble/nerfstudio/models/nersemble_instant_ngp.py:78-514.
+Composes: occupancy-grid ray marching -> per-timestep latent lookup -> SE(3)
+warp into canonical space -> hash-ensemble field -> alpha compositing ->
+supervision losses.
+
+Everything is functional: ``params`` (trained) and ``grid_occs`` (EMA state)
+are pytrees; methods are pure and jit/pjit-friendly. Scheduled scalars
+(coarse-to-fine windows, depth-band epsilon) arrive via a ``sched`` dict of
+traced scalars so schedule changes never retrigger compilation.
+
+World/normalized-space composition quirk preserved from the reference
+(deformation_field.py:156-166 + nersemble_nerfacto_field.py:257): the warp is
+computed on AABB-normalized positions, its offset is added to the *world*
+position, and the field re-normalizes — so the effective normalized-space
+offset is offset/extent.
+"""
+
+import math
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nersemble_tpu.config import ModelConfig
+from nersemble_tpu.models.deformation import deformation_offsets, init_deformation_field
+from nersemble_tpu.models.field import (
+    build_levels,
+    field_density,
+    field_rgb,
+    init_field,
+)
+from nersemble_tpu.ops import losses as L
+from nersemble_tpu.ops.distortion import distortion_loss
+from nersemble_tpu.ops.occupancy import occupancy_binaries, update_occupancy_grid
+from nersemble_tpu.ops.rendering import (
+    render_accumulation,
+    render_depth_expected,
+    render_expected_value,
+    render_rgb,
+    render_weights,
+)
+from nersemble_tpu.ops.sampling import march_rays
+
+_BACKGROUNDS = {"white": (1.0, 1.0, 1.0), "black": (0.0, 0.0, 0.0)}
+
+
+class NeRSembleModel:
+    """Holds static configuration; all compute methods are pure functions."""
+
+    def __init__(self, config: ModelConfig):
+        self.config = config
+        self.levels = build_levels(config)
+        scene_box = np.asarray(config.scene_box, np.float32)
+        self.aabb_min = jnp.asarray(scene_box[0])
+        self.aabb_max = jnp.asarray(scene_box[1])
+        self.background = jnp.asarray(_BACKGROUNDS[config.background_color],
+                                      jnp.float32)
+        self.compute_dtype = jnp.dtype(config.compute_dtype)
+        self.n_grid_cells = config.grid_resolution ** 3
+
+        if config.use_hash_ensemble:
+            assert config.latent_dim_time == config.hash_ensemble.n_hash_encodings, \
+                "latent_dim_time must equal n_hash_encodings for the blend"
+
+    # -- parameters ----------------------------------------------------------
+
+    def init_params(self, rng) -> Dict:
+        cfg = self.config
+        f_rng, d_rng, t_rng, td_rng = jax.random.split(rng, 4)
+        params = {"field": init_field(f_rng, cfg, self.levels)}
+        if cfg.use_deformation_field:
+            params["deformation"] = init_deformation_field(d_rng, cfg.deformation_field)
+        if cfg.use_deformation_field or cfg.use_hash_ensemble:
+            # init N(0, 0.01/sqrt(dim)) (reference: nersemble_instant_ngp.py:115-125)
+            params["time_embedding"] = jax.random.normal(
+                t_rng, (cfg.n_timesteps, cfg.latent_dim_time)) \
+                * (0.01 / math.sqrt(cfg.latent_dim_time))
+            if cfg.use_separate_deformation_time_embedding and cfg.use_deformation_field:
+                d_dim = cfg.deformation_field.warp_code_dim
+                params["time_embedding_deformation"] = jax.random.normal(
+                    td_rng, (cfg.n_timesteps, d_dim)) * (0.01 / math.sqrt(d_dim))
+        return params
+
+    def init_grid_occs(self) -> jnp.ndarray:
+        return jnp.zeros((self.n_grid_cells,), jnp.float32)
+
+    def param_groups(self, params) -> Dict[str, list]:
+        """Leaf path prefixes per optimizer group
+        (reference: nersemble_instant_ngp.py:502-514)."""
+        groups = {"fields": ["field"], "deformation_field": [], "embeddings": []}
+        if "deformation" in params:
+            groups["deformation_field"].append("deformation")
+        for key in ("time_embedding", "time_embedding_deformation"):
+            if key in params:
+                groups["embeddings"].append(key)
+        return groups
+
+    # -- conditioning --------------------------------------------------------
+
+    def _time_codes(self, params, timesteps):
+        """Per-ray latent codes from integer timesteps."""
+        tc = tc_def = None
+        if "time_embedding" in params:
+            tc = params["time_embedding"][timesteps]
+            if "time_embedding_deformation" in params:
+                tc_def = params["time_embedding_deformation"][timesteps]
+            else:
+                tc_def = tc
+        return tc, tc_def
+
+    # -- density with deformation composed (for occupancy + sampler) ---------
+
+    def density_at(self, params, positions, timesteps, sched):
+        """sigma at [N, 3] world positions / [N] integer timesteps
+        (reference field_density_fn: nersemble_instant_ngp.py:235-266)."""
+        cfg = self.config
+        tc, tc_def = self._time_codes(params, timesteps)
+        positions = self._warp_positions(params, positions, tc_def, sched)
+        density, _ = field_density(params["field"], positions, tc, cfg,
+                                   self.levels, self.aabb_min, self.aabb_max,
+                                   window_hash=sched.get("window_hash"),
+                                   compute_dtype=self.compute_dtype)
+        return density
+
+    def _warp_positions(self, params, positions, tc_def, sched):
+        cfg = self.config
+        if not cfg.use_deformation_field:
+            return positions
+        norm = (positions - self.aabb_min) / (self.aabb_max - self.aabb_min)
+        offsets = deformation_offsets(params["deformation"], norm, tc_def,
+                                      cfg.deformation_field,
+                                      window_param=sched.get("window_deform"),
+                                      compute_dtype=self.compute_dtype)
+        # world-space composition quirk (see module docstring)
+        return positions + offsets
+
+    # -- occupancy grid ------------------------------------------------------
+
+    def occupancy_grid_update(self, params, grid_occs, rng, sched, warmup: bool):
+        """One EMA update (reference: nersemble_instant_ngp.py:184-196)."""
+        cfg = self.config
+
+        def occ_eval_fn(positions, time_rng):
+            timesteps = jax.random.randint(time_rng, (positions.shape[0],), 0,
+                                           cfg.n_timesteps)
+            return self.density_at(params, positions, timesteps, sched) \
+                * cfg.render_step_size
+
+        return update_occupancy_grid(
+            grid_occs, occ_eval_fn, rng, cfg.grid_resolution,
+            self.aabb_min, self.aabb_max, cfg.occ_thre,
+            cfg.occupancy_grid_ema_decay, warmup=warmup)
+
+    def binaries(self, grid_occs, frustum_grid=None):
+        cfg = self.config
+        g = cfg.grid_resolution
+        if cfg.disable_occupancy_grid:
+            b = jnp.ones((g, g, g), bool)
+            if frustum_grid is not None:
+                b = b & frustum_grid
+            return b
+        return occupancy_binaries(grid_occs, cfg.occ_thre,
+                                  frustum_grid).reshape(g, g, g)
+
+    # -- rendering -----------------------------------------------------------
+
+    def render_rays(self, params, rays: Dict, binaries, sched: Dict,
+                    rng=None, train: bool = True) -> Dict:
+        """Render a fixed-shape ray batch.
+
+        rays: origins [R,3], directions [R,3], timesteps [R] int32,
+        optional camera_indices [R] int32.
+        """
+        cfg = self.config
+        origins, directions = rays["origins"], rays["directions"]
+        R = origins.shape[0]
+        S = cfg.sampling.max_samples_per_ray
+        n_cand = cfg.sampling.max_candidates_per_ray
+
+        jitter = None
+        if train and rng is not None:
+            jitter = jax.random.uniform(rng, (R,))
+
+        samples, info = march_rays(
+            origins, directions, self.aabb_min, self.aabb_max,
+            cfg.render_step_size, n_cand, S, binaries=binaries,
+            near_plane=cfg.near_plane, far_plane=cfg.far_plane, jitter=jitter)
+
+        timesteps = rays.get("timesteps")
+        if timesteps is None:
+            timesteps = jnp.zeros((R,), jnp.int32)
+        tc, tc_def = self._time_codes(params, timesteps)
+
+        positions = samples.positions(origins, directions)  # [R, S, 3]
+        flat_pos = positions.reshape(R * S, 3)
+
+        offsets_norm = None
+        if cfg.use_deformation_field:
+            norm = (flat_pos - self.aabb_min) / (self.aabb_max - self.aabb_min)
+            warp_codes = jnp.broadcast_to(tc_def[:, None, :],
+                                          (R, S, tc_def.shape[-1])).reshape(R * S, -1)
+            offsets_norm = deformation_offsets(
+                params["deformation"], norm, warp_codes, cfg.deformation_field,
+                window_param=sched.get("window_deform"),
+                compute_dtype=self.compute_dtype)
+            flat_pos = flat_pos + offsets_norm
+
+        flat_tc = None
+        if tc is not None:
+            flat_tc = jnp.broadcast_to(tc[:, None, :],
+                                       (R, S, tc.shape[-1])).reshape(R * S, -1)
+
+        density, geo = field_density(params["field"], flat_pos, flat_tc, cfg,
+                                     self.levels, self.aabb_min, self.aabb_max,
+                                     window_hash=sched.get("window_hash"),
+                                     compute_dtype=self.compute_dtype)
+
+        flat_dirs = jnp.broadcast_to(directions[:, None, :], (R, S, 3)).reshape(R * S, 3)
+        cam_idx = rays.get("camera_indices")
+        flat_cam = None
+        if cam_idx is not None:
+            flat_cam = jnp.broadcast_to(cam_idx[:, None], (R, S)).reshape(R * S)
+        rgbs = field_rgb(params["field"], flat_dirs, geo, cfg,
+                         camera_indices=flat_cam, train=train,
+                         compute_dtype=self.compute_dtype)
+
+        sigmas = density.reshape(R, S)
+        weights, trans = render_weights(sigmas, samples.t_starts, samples.t_ends,
+                                        samples.mask)
+
+        outputs = {
+            "rgb": render_rgb(weights, rgbs.reshape(R, S, 3), self.background),
+            "accumulation": render_accumulation(weights),
+            "depth": render_depth_expected(weights, samples.t_starts, samples.t_ends),
+            "weights": weights,
+            "samples": samples,
+            "num_samples_per_ray": info["n_samples_per_ray"],
+            "num_dropped_per_ray": info["n_dropped_per_ray"],
+        }
+        if offsets_norm is not None:
+            outputs["deformation"] = render_expected_value(
+                weights, offsets_norm.reshape(R, S, 3))
+        return outputs
+
+    # -- losses --------------------------------------------------------------
+
+    def compute_losses(self, outputs: Dict, batch: Dict, sched: Dict,
+                       train: bool = True) -> Dict:
+        """Scaled loss dict (reference: nersemble_instant_ngp.py:366-407 +
+        models/base.py:90-249). batch: rgb [R,3], optional alpha [R] in [0,1],
+        optional depth [R] (0 = invalid)."""
+        cfg = self.config
+        samples = outputs["samples"]
+        weights = outputs["weights"]
+        alpha = batch.get("alpha")
+        depth_gt = batch.get("depth")
+
+        loss_dict = {
+            "rgb_loss": L.masked_rgb_loss(outputs["rgb"], batch["rgb"], alpha,
+                                          cfg.use_masked_rgb_loss,
+                                          cfg.alpha_mask_threshold),
+        }
+        if cfg.lambda_alpha_loss > 0 and alpha is not None:
+            loss_dict["alpha_loss"] = cfg.lambda_alpha_loss * L.alpha_loss(
+                outputs["accumulation"], alpha)
+        if train and depth_gt is not None:
+            eps = sched.get("eps_depth", cfg.eps_depth_final)
+            if cfg.lambda_empty_loss > 0:
+                loss_dict["empty_loss"] = cfg.lambda_empty_loss * L.empty_loss(
+                    weights, samples.t_starts, samples.t_ends, samples.mask,
+                    depth_gt, eps)
+            if cfg.lambda_near_loss > 0:
+                loss_dict["near_loss"] = cfg.lambda_near_loss * L.near_loss(
+                    weights, samples.t_starts, samples.t_ends, samples.mask,
+                    depth_gt, eps)
+            if cfg.lambda_depth_loss > 0:
+                loss_dict["depth_loss"] = cfg.lambda_depth_loss * L.depth_loss(
+                    outputs["depth"], depth_gt)
+        if cfg.lambda_dist_loss > 0 and train:
+            R = weights.shape[0]
+            ray_mask = jnp.arange(R) < cfg.dist_loss_max_rays
+            loss_dict["dist_loss"] = cfg.lambda_dist_loss * distortion_loss(
+                weights, samples.t_starts, samples.t_ends, samples.mask, ray_mask)
+        return loss_dict

@@ -1,0 +1,139 @@
+"""Synthetic multi-view dataset in the reference on-disk layout.
+
+Renders an analytic scene — a shaded sphere whose center moves over time — from
+a 16-camera rig, writing images-2x/alpha_map/depth_maps_compressed/
+color_correction/camera_params.json exactly like the real NeRSemble capture
+(reference layout: multi_view_data.py:33-70). Used by tests and CLI smoke runs
+(no real dataset ships with this machine).
+
+Geometry lives in the calibration (OpenCV-world) frame at true metric scale;
+the framework's x9 world scaling is a pure rescale invisible to the cameras,
+so these images stay consistent with the scaled model world.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from nersemble_tpu.constants import SERIALS
+from nersemble_tpu.utils.quantization import DepthQuantizer
+
+SPHERE_RADIUS = 0.15
+CAM_DISTANCE = 1.0
+SPHERE_COLOR = np.array([0.8, 0.35, 0.25])
+
+
+def sphere_center(time_frac: float) -> np.ndarray:
+    """Center moves along calibration x with time (maps to viewer x)."""
+    return np.array([0.06 * time_frac - 0.03, 0.0, 0.0])
+
+
+def _camera_rig(n_cams: int = 16):
+    """OpenCV world_2_cam poses on a circle around the origin (y = down)."""
+    poses = {}
+    for i in range(n_cams):
+        angle = 2 * np.pi * i / n_cams
+        position = CAM_DISTANCE * np.array([np.sin(angle), 0.0, np.cos(angle)])
+        # look at origin: z forward toward origin, y down
+        z = -position / np.linalg.norm(position)
+        y = np.array([0.0, 1.0, 0.0])
+        x = np.cross(y, z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        c2w = np.eye(4)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = x, y, z, position
+        poses[SERIALS[i]] = np.linalg.inv(c2w)
+    return poses
+
+
+def _render_view(w2c: np.ndarray, intrinsics: np.ndarray, width: int,
+                 height: int, time_frac: float):
+    """Analytic sphere render -> (rgb u8 [H,W,3], alpha u8 [H,W], depth f32 [H,W])."""
+    c2w = np.linalg.inv(w2c)
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+    ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    dirs_cam = np.stack([(xs + 0.5 - cx) / fx, (ys + 0.5 - cy) / fy,
+                         np.ones_like(xs, float)], axis=-1)
+    dirs = dirs_cam @ c2w[:3, :3].T
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origin = c2w[:3, 3]
+
+    center = sphere_center(time_frac)
+    oc = origin - center
+    b = (dirs * oc).sum(-1)
+    c = (oc * oc).sum() - SPHERE_RADIUS ** 2
+    disc = b * b - c
+    hit = disc > 0
+    t = -b - np.sqrt(np.maximum(disc, 0.0))
+    hit &= t > 0
+
+    depth = np.where(hit, t, 0.0).astype(np.float32)
+    points = origin + dirs * t[..., None]
+    normals = (points - center) / SPHERE_RADIUS
+    light = np.array([0.5, -0.7, 0.5])
+    light = light / np.linalg.norm(light)
+    shade = np.clip((normals * light).sum(-1), 0.0, 1.0) * 0.7 + 0.3
+    rgb = np.where(hit[..., None], SPHERE_COLOR * shade[..., None], 0.0)
+    rgb_u8 = (np.clip(rgb, 0, 1) * 255).round().astype(np.uint8)
+    alpha_u8 = np.where(hit, 255, 0).astype(np.uint8)
+    return rgb_u8, alpha_u8, depth
+
+
+def make_synthetic_dataset(root, participant_id: int = 30,
+                           sequence_name: str = "SYN-1",
+                           n_timesteps: int = 3,
+                           original_size=(64, 88),
+                           n_cams: int = 16) -> dict:
+    """Write the dataset; returns metadata (sizes, poses, intrinsics)."""
+    import imageio.v3 as iio
+
+    root = Path(root)
+    ow, oh = original_size
+    w, h = ow // 2, oh // 2  # images on disk are the 2x-downscaled ones
+    # full-resolution intrinsics (dataparser rescales by 1/downscale_factor)
+    intrinsics_full = np.array([[ow * 1.2, 0, ow / 2],
+                                [0, ow * 1.2, oh / 2],
+                                [0, 0, 1.0]])
+    intrinsics_half = intrinsics_full.copy()
+    intrinsics_half[:2] /= 2
+
+    poses = _camera_rig(n_cams)
+    participant = root / f"{participant_id:03d}"
+    seq = participant / "sequences" / sequence_name
+    quantizer = DepthQuantizer()
+
+    for t in range(n_timesteps):
+        time_frac = t / max(n_timesteps - 1, 1)
+        frame = seq / f"frame_{t:05d}"
+        img_dir = frame / "images-2x-73fps"
+        alpha_dir = frame / "alpha_map-73fps"
+        depth_dir = frame / "colmap-73fps" / "depth_maps_compressed"
+        for d in (img_dir, alpha_dir, depth_dir):
+            d.mkdir(parents=True, exist_ok=True)
+        for serial, w2c in poses.items():
+            rgb, alpha, depth = _render_view(w2c, intrinsics_half, w, h, time_frac)
+            iio.imwrite(img_dir / f"cam_{serial}.png", rgb)
+            iio.imwrite(alpha_dir / f"cam_{serial}.png", alpha)
+            iio.imwrite(depth_dir / f"cam_{serial}.png", quantizer.encode(depth))
+
+    cc_dir = participant / "annotations" / sequence_name / "color_correction"
+    cc_dir.mkdir(parents=True, exist_ok=True)
+    identity = np.hstack([np.eye(3), np.zeros((3, 1))])
+    for serial in poses:
+        np.save(cc_dir / f"{serial}.npy", identity)
+
+    with open(participant / "camera_params.json", "w") as f:
+        json.dump({
+            "world_2_cam": {s: m.tolist() for s, m in poses.items()},
+            "intrinsics": intrinsics_full.tolist(),
+        }, f)
+
+    return {
+        "original_size": (ow, oh),
+        "image_size": (w, h),
+        "intrinsics_full": intrinsics_full,
+        "poses": poses,
+        "n_timesteps": n_timesteps,
+    }

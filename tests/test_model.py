@@ -1,0 +1,205 @@
+"""Model-level tests: init/render/losses/gradients/occupancy + tiny overfit."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nersemble_tpu.config import (
+    HashEncodingConfig,
+    HashEnsembleConfig,
+    ModelConfig,
+    SamplingConfig,
+    SE3DeformationFieldConfig,
+)
+from nersemble_tpu.models.nersemble import NeRSembleModel
+
+
+def tiny_model_config(**overrides) -> ModelConfig:
+    base = dict(
+        n_timesteps=3,
+        latent_dim_time=4,
+        use_hash_ensemble=True,
+        hash_ensemble=HashEnsembleConfig(
+            n_hash_encodings=4,
+            hash_encoding=HashEncodingConfig(n_levels=4, n_features_per_level=2,
+                                             log2_hashmap_size=8,
+                                             base_resolution=4,
+                                             per_level_scale=1.5),
+            disable_initial_hash_ensemble=True,
+            use_soft_transition=True,
+        ),
+        use_deformation_field=True,
+        deformation_field=SE3DeformationFieldConfig(
+            n_freq_pos=3, warp_code_dim=8, mlp_num_layers=2, mlp_layer_width=16,
+            skip_connections=()),
+        num_layers=2, hidden_dim=16, geo_feat_dim=7,
+        num_layers_color=2, hidden_dim_color=16,
+        grid_resolution=16,
+        render_step_size=0.05,
+        near_plane=0.05, far_plane=10.0,
+        scene_box=[[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]],
+        sampling=SamplingConfig(max_samples_per_ray=32, max_candidates_per_ray=80),
+        use_masked_rgb_loss=True, alpha_mask_threshold=0.0,
+        lambda_alpha_loss=1e-2, lambda_near_loss=1e-4, lambda_empty_loss=1e-2,
+        lambda_depth_loss=1e-4, lambda_dist_loss=1e-4,
+    )
+    base.update(overrides)
+    return ModelConfig(**base)
+
+
+def make_rays(n, rng):
+    o = np.tile(np.array([[-3.0, 0.0, 0.0]], np.float32), (n, 1))
+    d = rng.normal(size=(n, 3)).astype(np.float32) * np.array([0.05, 0.3, 0.3]) \
+        + np.array([1.0, 0, 0])
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return {
+        "origins": jnp.asarray(o),
+        "directions": jnp.asarray(d),
+        "timesteps": jnp.asarray(rng.integers(0, 3, n), jnp.int32),
+        "camera_indices": jnp.asarray(rng.integers(0, 4, n), jnp.int32),
+    }
+
+
+SCHED = {"window_deform": jnp.asarray(3.0), "window_hash": jnp.asarray(4.0),
+         "eps_depth": jnp.asarray(0.3)}
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = NeRSembleModel(tiny_model_config())
+    params = model.init_params(jax.random.PRNGKey(0))
+    return model, params
+
+
+def test_init_param_structure(model_and_params):
+    model, params = model_and_params
+    # ensemble: 4 tables x 2 feats -> one physical table of 8 feats
+    assert params["field"]["table"].shape[0] == 1
+    assert params["field"]["table"].shape[-1] == 8
+    assert params["time_embedding"].shape == (3, 4)
+    assert params["time_embedding_deformation"].shape == (3, 8)
+    assert "deformation" in params
+    groups = model.param_groups(params)
+    assert groups["fields"] == ["field"]
+    assert groups["deformation_field"] == ["deformation"]
+    assert set(groups["embeddings"]) == {"time_embedding", "time_embedding_deformation"}
+
+
+def test_render_rays_shapes(model_and_params):
+    model, params = model_and_params
+    rays = make_rays(8, np.random.default_rng(0))
+    binaries = jnp.ones((16, 16, 16), bool)
+    out = model.render_rays(params, rays, binaries, SCHED,
+                            rng=jax.random.PRNGKey(1), train=True)
+    assert out["rgb"].shape == (8, 3)
+    assert out["depth"].shape == (8, 1)
+    assert out["accumulation"].shape == (8, 1)
+    assert out["deformation"].shape == (8, 3)
+    rgb = np.asarray(out["rgb"])
+    assert np.isfinite(rgb).all() and (rgb >= 0).all() and (rgb <= 1).all()
+    acc = np.asarray(out["accumulation"])
+    assert (acc >= 0).all() and (acc <= 1 + 1e-5).all()
+
+
+def test_losses_and_gradients(model_and_params):
+    model, params = model_and_params
+    rng = np.random.default_rng(1)
+    rays = make_rays(8, rng)
+    batch = {
+        "rgb": jnp.asarray(rng.uniform(size=(8, 3)).astype(np.float32)),
+        "alpha": jnp.asarray(rng.uniform(size=8).astype(np.float32)),
+        "depth": jnp.asarray((rng.uniform(2.5, 3.5, 8) * (rng.uniform(size=8) > 0.3)).astype(np.float32)),
+    }
+    binaries = jnp.ones((16, 16, 16), bool)
+
+    def loss_fn(p):
+        out = model.render_rays(p, rays, binaries, SCHED,
+                                rng=jax.random.PRNGKey(2), train=True)
+        losses = model.compute_losses(out, batch, SCHED, train=True)
+        return sum(losses.values()), losses
+
+    (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(total))
+    expected_keys = {"rgb_loss", "alpha_loss", "empty_loss", "near_loss",
+                     "depth_loss", "dist_loss"}
+    assert set(losses.keys()) == expected_keys
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    nonzero = {}
+    for path, leaf in flat:
+        assert np.isfinite(np.asarray(leaf)).all(), path
+        key = path[0].key if hasattr(path[0], "key") else str(path[0])
+        nonzero[key] = nonzero.get(key, 0.0) + float(jnp.abs(leaf).sum())
+    # every component receives gradient (incl. deformation + embeddings:
+    # the autocast-cache bug class of the reference cannot happen here, but
+    # guard the property anyway)
+    for key in ("field", "deformation", "time_embedding", "time_embedding_deformation"):
+        assert nonzero[key] > 0, f"no gradient reached {key}"
+
+
+def test_occupancy_update_and_binaries(model_and_params):
+    model, params = model_and_params
+    occs = model.init_grid_occs()
+    occs = model.occupancy_grid_update(params, occs, jax.random.PRNGKey(3),
+                                       SCHED, warmup=True)
+    assert occs.shape == (16 ** 3,)
+    assert np.isfinite(np.asarray(occs)).all()
+    occs = model.occupancy_grid_update(params, occs, jax.random.PRNGKey(4),
+                                       SCHED, warmup=False)
+    b = model.binaries(occs)
+    assert b.shape == (16, 16, 16)
+
+    # disable_occupancy_grid -> all-true binaries (AND frustum if provided)
+    model2 = NeRSembleModel(tiny_model_config(disable_occupancy_grid=True))
+    b2 = model2.binaries(model2.init_grid_occs())
+    assert bool(np.asarray(b2).all())
+
+
+def test_static_model_no_time_components():
+    config = tiny_model_config(use_hash_ensemble=False, use_deformation_field=False,
+                               n_timesteps=1, num_levels=4, log2_hashmap_size=8,
+                               base_resolution=4, max_res=16)
+    model = NeRSembleModel(config)
+    params = model.init_params(jax.random.PRNGKey(0))
+    assert "time_embedding" not in params
+    assert "deformation" not in params
+    assert params["field"]["table"].shape[0] == 1
+    assert params["field"]["table"].shape[-1] == 2
+    rays = make_rays(4, np.random.default_rng(2))
+    out = model.render_rays(params, rays, None, {}, train=False)
+    assert out["rgb"].shape == (4, 3)
+    assert "deformation" not in out
+
+
+def test_overfit_single_batch():
+    """End-to-end sanity: a few Adam steps on one batch reduce the loss."""
+    import optax
+
+    config = tiny_model_config()
+    model = NeRSembleModel(config)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    rays = make_rays(16, rng)
+    batch = {"rgb": jnp.asarray(rng.uniform(size=(16, 3)).astype(np.float32)),
+             "alpha": jnp.ones((16,), jnp.float32)}
+    binaries = jnp.ones((16, 16, 16), bool)
+
+    opt = optax.adam(1e-2, eps=1e-15)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            out = model.render_rays(p, rays, binaries, SCHED,
+                                    rng=jax.random.PRNGKey(0), train=True)
+            return sum(model.compute_losses(out, batch, SCHED).values())
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(15):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9, losses
