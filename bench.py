@@ -1,0 +1,105 @@
+"""Benchmark: train-step throughput (rays/s/chip) of the flagship model.
+
+Runs the REAL training configuration (32-table 2^19 hash ensemble, 6x128 SE(3)
+deformation field, occupancy-aware sampling, all losses) on synthetic rays on
+whatever accelerator JAX finds, and prints ONE JSON line.
+
+Baseline derivation (BASELINE.md): the reference trains 300,001 steps x 4096
+rays in ~24 h on an RTX A6000 => ~14,200 rays/s. vs_baseline = ours / 14200.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_rays, _flagship_model_config
+    from nersemble_tpu.engine.optimizers import (
+        apply_updates_with_group_lrs,
+        group_of_param,
+        make_optimizer,
+    )
+    from nersemble_tpu.models.nersemble import NeRSembleModel
+
+    config = _flagship_model_config(tiny=False)
+    # benchmark at the paper's batch size with the steady-state sample budget
+    n_rays = 4096
+    config.sampling.max_samples_per_ray = 64
+    config.sampling.max_candidates_per_ray = 1024
+
+    model = NeRSembleModel(config)
+    params = model.init_params(jax.random.PRNGKey(0))
+    optimizer = make_optimizer()
+    opt_state = optimizer.init(params)
+    key_to_group = group_of_param(model.param_groups(params))
+    g = config.grid_resolution
+
+    # representative occupancy: ~5% of cells occupied around the head region
+    rng = np.random.default_rng(0)
+    occ = rng.uniform(size=(g, g, g)) < 0.05
+    center = slice(g // 2 - g // 8, g // 2 + g // 8)
+    occ[center, center, center] = True
+    binaries_grid = jnp.asarray(occ)
+
+    batch = _example_rays(n_rays, config.n_timesteps, seed=1)
+    batch["rgb"] = jnp.asarray(rng.uniform(size=(n_rays, 3)).astype(np.float32))
+    batch["alpha"] = jnp.asarray(rng.uniform(size=n_rays).astype(np.float32))
+    batch["depth"] = jnp.asarray(rng.uniform(7.5, 9.5, n_rays).astype(np.float32))
+
+    sched = {"window_deform": jnp.float32(7.0), "window_hash": jnp.float32(32.0),
+             "eps_depth": jnp.float32(0.01)}
+    lrs = {"fields": jnp.float32(5e-3), "deformation_field": jnp.float32(1e-3),
+           "embeddings": jnp.float32(5e-3)}
+
+    def train_step(params, opt_state, batch, rng_key):
+        def loss_fn(p):
+            out = model.render_rays(p, batch, binaries_grid, sched, rng=rng_key,
+                                    train=True)
+            losses = model.compute_losses(out, batch, sched, train=True)
+            return sum(losses.values()), jnp.sum(out["num_samples_per_ray"])
+
+        (total, n_samples), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        params = apply_updates_with_group_lrs(params, updates, key_to_group, lrs)
+        return params, opt_state, total, n_samples
+
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    # warmup / compile
+    params, opt_state, total, n_samples = step(params, opt_state, batch,
+                                               jax.random.PRNGKey(0))
+    jax.block_until_ready(total)
+
+    n_iters = 30
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        params, opt_state, total, n_samples = step(params, opt_state, batch,
+                                                   jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(total)
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = n_rays * n_iters / dt
+    samples_per_sec = float(n_samples) * n_iters / dt
+    baseline_rays_per_sec = 300001 * 4096 / (24 * 3600)  # ~14,222 (A6000, 1 day)
+    print(json.dumps({
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / baseline_rays_per_sec, 3),
+        "extra": {
+            "ray_samples_per_sec": round(samples_per_sec, 1),
+            "step_ms": round(dt / n_iters * 1000, 2),
+            "n_rays": n_rays,
+            "device": str(jax.devices()[0]).replace(" ", "_"),
+            "loss": float(total),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -69,11 +69,12 @@ class DataparserOutputs:
 class NeRSembleDataParser:
     def __init__(self, config: DataConfig,
                  data_manager: Optional[NeRSembleDataManager] = None,
-                 original_image_size: Tuple[int, int] = (ORIGINAL_IMAGE_WIDTH,
-                                                         ORIGINAL_IMAGE_HEIGHT)):
+                 original_image_size: Optional[Tuple[int, int]] = None):
         self.config = config
         self.data_manager = data_manager or NeRSembleDataManager(
             config.participant_id, config.sequence_name)
+        if original_image_size is None:
+            original_image_size = self._probe_original_size()
         self._original_w, self._original_h = original_image_size
         if config.n_timesteps == -1:
             total = self.data_manager.get_n_timesteps()
@@ -82,6 +83,26 @@ class NeRSembleDataParser:
                     f"No frame_* folders with images found under "
                     f"{self.data_manager.get_sequence_folder()}")
             config.n_timesteps = ceil(total / config.skip_timesteps)
+
+    def _probe_original_size(self) -> Tuple[int, int]:
+        """Infer the capture resolution from the first on-disk image (the
+        stored images are already downscaled by ``downscale_factor``); falls
+        back to the published rig's 2200x3208."""
+        from pathlib import Path
+        try:
+            timesteps = self.data_manager.get_timesteps()
+            if timesteps:
+                path = self.data_manager.get_image_path(
+                    timesteps[0], self.split_cam_ids("train")[0])
+                if Path(path).exists():
+                    from PIL import Image
+                    with Image.open(path) as img:
+                        w, h = img.size
+                    return (w * self.config.downscale_factor,
+                            h * self.config.downscale_factor)
+        except Exception:
+            pass
+        return ORIGINAL_IMAGE_WIDTH, ORIGINAL_IMAGE_HEIGHT
 
     # -- index maps (reference: nersemble_dataparser.py:66-136) -------------
 

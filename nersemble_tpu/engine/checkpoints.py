@@ -1,0 +1,124 @@
+"""Checkpoint save/load: flat-npz pytrees in the reference's artifact layout.
+
+Layout (reference: model_manager/base.py:24-25, nerfstudio Trainer checkpoint
+contents, SURVEY.md section 5): ``checkpoints/step-NNNNNNNNN.ckpt`` holding the
+training step, model params, optimizer state, and the occupancy-grid EMA —
+everything needed for bit-exact resume. ``save_only_latest_checkpoint`` prunes
+older files after a successful save.
+
+Pytrees are flattened to path-keyed arrays (``/``-joined dict keys and list
+indices) so the format is plain ``np.savez`` — inspectable, portable, no
+framework lock-in.
+"""
+
+import io
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
+    flat = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            flat.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        flat[f"{prefix}__seq_type__"] = np.array(
+            "tuple" if isinstance(tree, tuple) else "list")
+        for i, v in enumerate(tree):
+            flat.update(_flatten(v, f"{prefix}{i}/"))
+    elif tree is None:
+        flat[f"{prefix}__none__"] = np.array(0)
+    else:
+        flat[prefix[:-1] if prefix.endswith("/") else prefix] = np.asarray(tree)
+    return flat
+
+
+def _unflatten_into(template, flat: Dict[str, np.ndarray], prefix=""):
+    """Restore arrays into the structure of ``template``."""
+    if isinstance(template, dict):
+        return {k: _unflatten_into(v, flat, f"{prefix}{k}/")
+                for k, v in template.items()}
+    if isinstance(template, (list, tuple)):
+        seq = [_unflatten_into(v, flat, f"{prefix}{i}/")
+               for i, v in enumerate(template)]
+        return tuple(seq) if isinstance(template, tuple) else seq
+    if template is None:
+        return None
+    key = prefix[:-1] if prefix.endswith("/") else prefix
+    value = flat[key]
+    if hasattr(template, "dtype"):
+        if hasattr(template, "shape") and tuple(value.shape) != tuple(template.shape):
+            raise ValueError(
+                f"Checkpoint/model mismatch at '{key}': checkpoint has shape "
+                f"{tuple(value.shape)}, model expects {tuple(template.shape)} "
+                f"(was the checkpoint written by an incompatible version?)")
+        return np.asarray(value, dtype=template.dtype)
+    return type(template)(value.item()) if value.shape == () else value
+
+
+def save_checkpoint(path, step: int, params, opt_state, grid_occs,
+                    extra: Optional[Dict[str, Any]] = None) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    state = {
+        "step": np.asarray(step),
+        "params": jax.device_get(params),
+        "opt_state": jax.device_get(_opt_state_to_tree(opt_state)),
+        "grid_occs": jax.device_get(grid_occs),
+    }
+    if extra:
+        state["extra"] = extra
+    flat = _flatten(state)
+    buf = io.BytesIO()
+    np.savez(buf, **flat)
+    # atomic write
+    tmp = path.with_suffix(".tmp")
+    tmp.write_bytes(buf.getvalue())
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path, params_template, opt_state_template, grid_occs_template):
+    with np.load(Path(path), allow_pickle=False) as data:
+        flat = {k: data[k] for k in data.files}
+    step = int(flat["step"])
+    params = _unflatten_into(jax.device_get(params_template), flat, "params/")
+    opt_tree = _unflatten_into(
+        jax.device_get(_opt_state_to_tree(opt_state_template)), flat, "opt_state/")
+    opt_state = _tree_to_opt_state(opt_state_template, opt_tree)
+    grid_occs = np.asarray(flat["grid_occs"],
+                           dtype=np.asarray(grid_occs_template).dtype)
+    return step, params, opt_state, grid_occs
+
+
+def _opt_state_to_tree(opt_state):
+    """optax states are NamedTuples; store them as plain dict trees."""
+    if hasattr(opt_state, "_asdict"):
+        return {k: _opt_state_to_tree(v) for k, v in opt_state._asdict().items()}
+    if isinstance(opt_state, (list, tuple)):
+        return [_opt_state_to_tree(v) for v in opt_state]
+    return opt_state
+
+
+def _tree_to_opt_state(template, tree):
+    if hasattr(template, "_asdict"):
+        fields = template._asdict()
+        return type(template)(**{k: _tree_to_opt_state(fields[k], tree[k])
+                                 for k in fields})
+    if isinstance(template, (list, tuple)):
+        return type(template)(_tree_to_opt_state(t, v)
+                              for t, v in zip(template, tree))
+    return tree
+
+
+def prune_old_checkpoints(folder, keep_step: int) -> None:
+    """Delete all but the given step (save_only_latest_checkpoint)."""
+    folder = Path(folder)
+    if not folder.exists():
+        return
+    for p in folder.glob("step-*.ckpt"):
+        if int(p.stem.split("-")[1]) != keep_step:
+            p.unlink()

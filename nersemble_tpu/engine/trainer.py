@@ -1,0 +1,387 @@
+"""Training engine: jitted DP train step, occupancy maintenance, eval, ckpt.
+
+Reference: src/nersemble/nerfstudio/engine/nersemble_trainer.py:21-206 +
+nerfstudio Trainer/VanillaPipeline. TPU redesign:
+
+- The train step is ONE jitted pure function (forward + backward + Adam +
+  occupancy-aware sampling) with donated params/opt-state, compiled once; all
+  scheduled quantities (window params, eps_depth, group LRs) enter as traced
+  scalars computed on the host per step.
+- The ray batch is sharded over the mesh's data axis; XLA all-reduces grads
+  over ICI (see parallel/mesh.py). bf16 compute, f32 params — no GradScaler,
+  and the reference's autocast-cache gradient bug (nersemble_trainer.py:171-177)
+  cannot exist under pure functions.
+- Occupancy-grid EMA updates run every 16 steps as separate compiled fns
+  (warm-up all-cells variant + sampled variant).
+- Periodic eval renders images chunk-wise through the same render fn.
+"""
+
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nersemble_tpu.config import TrainConfig
+from nersemble_tpu.data.dataparser import NeRSembleDataParser
+from nersemble_tpu.data.dataset import NeRSembleDataset
+from nersemble_tpu.data.multi_view_data import NeRSembleDataManager
+from nersemble_tpu.data.ray_batcher import EvalImageLoader, RayBatcher
+from nersemble_tpu.engine import checkpoints
+from nersemble_tpu.engine.optimizers import (
+    apply_updates_with_group_lrs,
+    group_of_param,
+    make_optimizer,
+)
+from nersemble_tpu.engine.writer import MetricsWriter
+from nersemble_tpu.models.nersemble import NeRSembleModel
+from nersemble_tpu.ops.occupancy import frustum_culling_grid
+from nersemble_tpu.parallel import mesh as mesh_lib
+from nersemble_tpu.utils import metrics as M
+from nersemble_tpu.utils.windows import generic_schedule, step_lr
+
+OCC_UPDATE_EVERY = 16
+
+
+class NeRSembleTrainer:
+    def __init__(self, config: TrainConfig, model_manager=None,
+                 data_location: Optional[str] = None,
+                 original_image_size=None, writer: Optional[MetricsWriter] = None):
+        self.config = config
+        self.model_manager = model_manager
+        self.run_dir = Path(model_manager.get_location()) if model_manager \
+            else Path(config.output_dir or ".") / (config.run_name or "run")
+
+        # -- data ------------------------------------------------------------
+        dm = NeRSembleDataManager(config.data.participant_id,
+                                  config.data.sequence_name,
+                                  location=data_location)
+        parser_kwargs = {}
+        if original_image_size is not None:
+            parser_kwargs["original_image_size"] = original_image_size
+        self.dataparser = NeRSembleDataParser(config.data, data_manager=dm,
+                                              **parser_kwargs)
+        self.train_outputs = self.dataparser.generate_outputs("train")
+        self.eval_outputs = self.dataparser.generate_outputs("val")
+        self.train_dataset = NeRSembleDataset(self.train_outputs, config.data)
+        self.eval_dataset = NeRSembleDataset(self.eval_outputs, config.data)
+        self.eval_loader = EvalImageLoader(self.eval_dataset)
+
+        # -- model -----------------------------------------------------------
+        config.model.n_timesteps = config.data.n_timesteps
+        config.model.scene_box = self.train_outputs.scene_box.tolist()
+        config.model.num_images = self.train_outputs.n_images
+        self.model = NeRSembleModel(config.model)
+
+        self.mesh = mesh_lib.make_mesh(config.parallel.data_axis_size)
+        self.n_devices = self.mesh.devices.size
+
+        # grid mask = frustum culling (host precompute), optionally ANDed with
+        # the eval-time connected-component filter; passed into the jitted fns
+        # as an argument so it can change after compilation.
+        g = config.model.grid_resolution
+        self.grid_mask = jnp.ones((g, g, g), bool)
+        if config.model.use_view_frustum_culling and self.train_outputs.frustums:
+            grid = frustum_culling_grid(
+                self.train_outputs.frustums, config.model.grid_resolution,
+                self.train_outputs.scene_box[0], self.train_outputs.scene_box[1],
+                config.model.view_frustum_culling)
+            self.grid_mask = jnp.asarray(grid)
+
+        # -- state -----------------------------------------------------------
+        rng = jax.random.PRNGKey(config.seed)
+        self.params = self.model.init_params(rng)
+        self.optimizer = make_optimizer()
+        self.opt_state = self.optimizer.init(self.params)
+        self.grid_occs = self.model.init_grid_occs()
+        self.start_step = 0
+        self.key_to_group = group_of_param(self.model.param_groups(self.params))
+
+        if config.load_dir is not None:
+            self._load_checkpoint()
+
+        # batcher sized to the global batch (sharded over devices)
+        n_rays = config.data.train_num_rays_per_batch
+        assert n_rays % self.n_devices == 0, \
+            f"train_num_rays_per_batch={n_rays} must divide over {self.n_devices} devices"
+        self.batcher = RayBatcher(self.train_dataset, config.data,
+                                  num_rays=n_rays, seed=config.seed)
+
+        self.writer = writer or MetricsWriter(self.run_dir,
+                                              enabled=config.vis != "none")
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+    # compiled functions
+    # ------------------------------------------------------------------
+
+    def _build_steps(self):
+        model = self.model
+        optimizer = self.optimizer
+        key_to_group = self.key_to_group
+        replicated = mesh_lib.replicated(self.mesh)
+        sharded = mesh_lib.batch_sharding(self.mesh)
+
+        def train_step(params, opt_state, grid_occs, grid_mask, batch, sched,
+                       lrs, rng):
+            binaries = model.binaries(grid_occs, grid_mask)
+
+            def loss_fn(p):
+                outputs = model.render_rays(p, batch, binaries, sched,
+                                            rng=rng, train=True)
+                losses = model.compute_losses(outputs, batch, sched, train=True)
+                total = sum(losses.values())
+                aux = {
+                    "losses": losses,
+                    "psnr": M.psnr(outputs["rgb"], batch["rgb"]),
+                    "num_samples": jnp.sum(outputs["num_samples_per_ray"]),
+                    "num_dropped": jnp.sum(outputs["num_dropped_per_ray"]),
+                }
+                return total, aux
+
+            (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state)
+            params = apply_updates_with_group_lrs(params, updates, key_to_group, lrs)
+            return params, opt_state, total, aux
+
+        self._train_step = jax.jit(
+            train_step,
+            donate_argnums=(0, 1),
+            in_shardings=(replicated, replicated, replicated, replicated,
+                          sharded, replicated, replicated, replicated),
+        )
+
+        def occ_update(params, grid_occs, rng, sched, warmup):
+            return model.occupancy_grid_update(params, grid_occs, rng, sched,
+                                               warmup=warmup)
+
+        self._occ_update_warm = jax.jit(lambda p, g, r, s: occ_update(p, g, r, s, True),
+                                        donate_argnums=(1,))
+        self._occ_update = jax.jit(lambda p, g, r, s: occ_update(p, g, r, s, False),
+                                   donate_argnums=(1,))
+
+        def render_chunk(params, grid_occs, grid_mask, batch, sched):
+            binaries = model.binaries(grid_occs, grid_mask)
+            out = model.render_rays(params, batch, binaries, sched,
+                                    rng=None, train=False)
+            keep = ("rgb", "depth", "accumulation", "deformation")
+            return {k: out[k] for k in keep if k in out}
+
+        self._render_chunk = jax.jit(render_chunk,
+                                     in_shardings=(replicated, replicated,
+                                                   replicated, sharded,
+                                                   replicated))
+
+    # ------------------------------------------------------------------
+    # schedules (host side)
+    # ------------------------------------------------------------------
+
+    def sched_values(self, step: int) -> Dict[str, jnp.ndarray]:
+        cfg = self.config.model
+        sched = {}
+        if cfg.use_deformation_field and cfg.window_deform_end >= 1:
+            sched["window_deform"] = jnp.float32(generic_schedule(
+                step, 0.0, cfg.deformation_field.n_freq_pos,
+                cfg.window_deform_begin, cfg.window_deform_end))
+        if cfg.use_hash_ensemble and cfg.window_hash_encodings_end > 0:
+            sched["window_hash"] = jnp.float32(generic_schedule(
+                step, 1.0, cfg.hash_ensemble.n_hash_encodings,
+                cfg.window_hash_encodings_begin, cfg.window_hash_encodings_end))
+        if cfg.lambda_empty_loss > 0 or cfg.lambda_near_loss > 0:
+            sched["eps_depth"] = jnp.float32(generic_schedule(
+                step, cfg.eps_depth_initial, cfg.eps_depth_final,
+                cfg.eps_depth_begin_step, cfg.eps_depth_end_step))
+        return sched
+
+    def lr_values(self, step: int) -> Dict[str, jnp.ndarray]:
+        return {name: jnp.float32(step_lr(step, oc.lr, oc.scheduler_step_size,
+                                          oc.scheduler_gamma))
+                for name, oc in self.config.optimizers.items()}
+
+    # ------------------------------------------------------------------
+    # training loop
+    # ------------------------------------------------------------------
+
+    def _device_batch(self, host_batch: Dict[str, np.ndarray]) -> Dict:
+        keys = ("origins", "directions", "rgb", "timesteps", "camera_indices",
+                "alpha", "depth")
+        batch = {k: host_batch[k] for k in keys if k in host_batch}
+        return mesh_lib.shard_batch(batch, self.mesh)
+
+    def apply_grid_mask(self, mask) -> None:
+        """AND an extra [G, G, G] bool mask (e.g. the eval-time largest-
+        connected-component filter) into the sampling binaries."""
+        self.grid_mask = self.grid_mask & jnp.asarray(mask)
+
+    def maybe_update_occupancy(self, step: int, rng) -> None:
+        cfg = self.config.model
+        if cfg.disable_occupancy_grid or step % OCC_UPDATE_EVERY != 0:
+            return
+        sched = self.sched_values(step)
+        if step < cfg.occupancy_grid_warmup_steps:
+            self.grid_occs = self._occ_update_warm(self.params, self.grid_occs,
+                                                   rng, sched)
+        else:
+            self.grid_occs = self._occ_update(self.params, self.grid_occs,
+                                              rng, sched)
+
+    def train(self, max_steps: Optional[int] = None) -> Dict[str, float]:
+        cfg = self.config
+        max_steps = max_steps or cfg.max_num_iterations
+        base_rng = jax.random.PRNGKey(cfg.seed + 1)
+        batch_iter = iter(self.batcher)
+        n_rays = cfg.data.train_num_rays_per_batch
+
+        last = {}
+        t_last_log = time.time()
+        rays_since_log = 0
+        for step in range(self.start_step, max_steps):
+            rng = jax.random.fold_in(base_rng, step)
+            occ_rng, step_rng = jax.random.split(rng)
+            self.maybe_update_occupancy(step, occ_rng)
+
+            host_batch = next(batch_iter)
+            batch = self._device_batch(host_batch)
+            sched = self.sched_values(step)
+            lrs = self.lr_values(step)
+            self.params, self.opt_state, total, aux = self._train_step(
+                self.params, self.opt_state, self.grid_occs, self.grid_mask,
+                batch, sched, lrs, step_rng)
+            rays_since_log += n_rays
+
+            if step % cfg.steps_per_log == 0 or step == max_steps - 1:
+                total = float(total)
+                losses = {k: float(v) for k, v in aux["losses"].items()}
+                now = time.time()
+                dt = max(now - t_last_log, 1e-6)
+                scalars = {
+                    "train_loss": total,
+                    "train_psnr": float(aux["psnr"]),
+                    "rays_per_sec": rays_since_log / dt,
+                    "samples_per_batch": float(aux["num_samples"]),
+                    "dropped_samples_per_batch": float(aux["num_dropped"]),
+                    **{f"loss/{k}": v for k, v in losses.items()},
+                    **{f"lr/{k}": float(v) for k, v in lrs.items()},
+                    **{f"window_param/{k}": float(v) for k, v in sched.items()},
+                }
+                self.writer.put_scalars(step, scalars)
+                t_last_log = now
+                rays_since_log = 0
+                last = {"step": step, "loss": total, **scalars}
+
+            if cfg.steps_per_eval_batch and step > 0 \
+                    and step % cfg.steps_per_eval_batch == 0:
+                self._eval_batch(step)
+
+            if cfg.steps_per_eval_image and step > 0 \
+                    and step % cfg.steps_per_eval_image == 0:
+                self._eval_image(step, image_idx=step // cfg.steps_per_eval_image
+                                 % max(len(self.eval_loader), 1))
+
+            if cfg.steps_per_save and step > 0 and step % cfg.steps_per_save == 0:
+                self.save_checkpoint(step)
+
+        final_step = max_steps - 1
+        self.save_checkpoint(final_step)
+        return last
+
+    # ------------------------------------------------------------------
+    # evaluation
+    # ------------------------------------------------------------------
+
+    def _eval_batch(self, step: int) -> None:
+        """Eval-ray loss batch (reference: nersemble_trainer.py:120-125)."""
+        eval_batcher = RayBatcher(self.eval_dataset, self.config.data,
+                                  num_rays=self.config.data.eval_num_rays_per_batch
+                                  // self.n_devices * self.n_devices,
+                                  seed=self.config.seed + step)
+        host_batch = next(iter(eval_batcher._generator()))
+        batch = self._device_batch(host_batch)
+        sched = self.sched_values(step)
+        out = self._render_chunk(self.params, self.grid_occs, self.grid_mask,
+                                 {k: batch[k] for k in
+                                  ("origins", "directions", "timesteps",
+                                   "camera_indices")}, sched)
+        scalars = {
+            "eval_psnr": float(M.psnr(out["rgb"], batch["rgb"])),
+            "eval_mse": float(M.mse(out["rgb"], batch["rgb"])),
+        }
+        self.writer.put_scalars(step, scalars)
+
+    def render_image(self, image_rays: Dict, step: int,
+                     chunk: Optional[int] = None) -> Dict[str, np.ndarray]:
+        """Full-image chunked render through the compiled render fn."""
+        chunk = chunk or self.config.data.eval_num_rays_per_batch
+        chunk = mesh_lib.pad_to_multiple(chunk, self.n_devices)
+        H, W = image_rays["height"], image_rays["width"]
+        n = H * W
+        sched = self.sched_values(step)
+        outs = {"rgb": [], "depth": [], "accumulation": [], "deformation": []}
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            pad = chunk - (hi - lo)
+            sl = {}
+            for key in ("origins", "directions", "timesteps", "camera_indices"):
+                arr = image_rays[key][lo:hi]
+                if pad:
+                    arr = np.concatenate([arr, np.repeat(arr[-1:], pad, 0)])
+                sl[key] = arr
+            batch = mesh_lib.shard_batch(sl, self.mesh)
+            out = self._render_chunk(self.params, self.grid_occs,
+                                     self.grid_mask, batch, sched)
+            for key in outs:
+                if key in out:
+                    outs[key].append(np.asarray(out[key])[:hi - lo])
+        return {key: np.concatenate(vals).reshape(H, W, -1)
+                for key, vals in outs.items() if vals}
+
+    def _eval_image(self, step: int, image_idx: int = 0) -> Dict[str, float]:
+        image_rays = self.eval_loader.image_rays(image_idx)
+        rendered = self.render_image(image_rays, step)
+        gt = image_rays["gt_rgb"]
+        scalars = {
+            "eval_image_psnr": float(M.psnr(jnp.asarray(rendered["rgb"]),
+                                            jnp.asarray(gt))),
+            "eval_image_ssim": float(M.ssim(jnp.asarray(rendered["rgb"]),
+                                            jnp.asarray(gt))),
+        }
+        self.writer.put_scalars(step, scalars)
+        self.writer.put_image(step, f"cam_{image_rays['entry'].cam_id}_rgb",
+                              rendered["rgb"])
+        self.writer.put_image(step, f"cam_{image_rays['entry'].cam_id}_gt", gt)
+        return scalars
+
+    # ------------------------------------------------------------------
+    # checkpointing
+    # ------------------------------------------------------------------
+
+    def checkpoint_dir(self) -> Path:
+        if self.model_manager:
+            return Path(self.model_manager.get_checkpoint_folder())
+        return self.run_dir / "checkpoints"
+
+    def save_checkpoint(self, step: int) -> None:
+        path = self.checkpoint_dir() / f"step-{step:09d}.ckpt"
+        checkpoints.save_checkpoint(path, step, self.params, self.opt_state,
+                                    self.grid_occs)
+        if self.config.save_only_latest_checkpoint:
+            checkpoints.prune_old_checkpoints(self.checkpoint_dir(), step)
+
+    def _load_checkpoint(self) -> None:
+        load_dir = Path(self.config.load_dir)
+        if self.config.load_step is not None:
+            path = load_dir / f"step-{self.config.load_step:09d}.ckpt"
+        else:
+            steps = sorted(int(p.stem.split("-")[1])
+                           for p in load_dir.glob("step-*.ckpt"))
+            if not steps:
+                raise FileNotFoundError(f"No checkpoints in {load_dir}")
+            path = load_dir / f"step-{steps[-1]:09d}.ckpt"
+        step, params, opt_state, grid_occs = checkpoints.load_checkpoint(
+            path, self.params, self.opt_state, self.grid_occs)
+        self.params = jax.device_put(params)
+        self.opt_state = jax.device_put(opt_state)
+        self.grid_occs = jnp.asarray(grid_occs)
+        self.start_step = step + 1

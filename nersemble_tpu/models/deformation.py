@@ -55,7 +55,8 @@ def deformation_offsets(params,
                           include_input=True, window_param=window_param)
     feat = apply_mlp(params["stem"],
                      jnp.concatenate([enc, warp_code.astype(enc.dtype)], axis=-1),
-                     out_activation=jax.nn.relu, compute_dtype=compute_dtype)
+                     out_activation=jax.nn.relu, compute_dtype=compute_dtype,
+                     skip_connections=tuple(config.skip_connections))
     r = apply_linear(params["head_r"], feat, compute_dtype).astype(jnp.float32)
     v = apply_linear(params["head_v"], feat, compute_dtype).astype(jnp.float32)
     screw = jnp.concatenate([v, r], axis=-1)  # [v, r] ordering like pytorch3d

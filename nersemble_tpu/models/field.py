@@ -112,16 +112,19 @@ def field_density(params, positions_world: jnp.ndarray,
 
     smoothstep = (config.use_hash_ensemble
                   and config.hash_ensemble.hash_encoding.interpolation == "Smoothstep")
+    _, f_phys, f_l = ensemble_layout(config)
     if config.use_hash_ensemble:
         he = config.hash_ensemble
         code = effective_blend_code(
             time_codes, window_hash, he.n_hash_encodings,
             he.disable_initial_hash_ensemble, he.use_soft_transition)
         base_in = hash_encode_blended(params["table"], norm, code, levels,
-                                      features_per_logical=he.hash_encoding.n_features_per_level,
+                                      features_per_logical=f_l,
+                                      features_per_entry=f_phys,
                                       smoothstep=smoothstep)
     else:
-        base_in = hash_encode(params["table"], norm, levels, smoothstep=smoothstep)
+        base_in = hash_encode(params["table"], norm, levels,
+                              features_per_entry=f_phys, smoothstep=smoothstep)
 
     h = apply_mlp(params["mlp_base"], base_in, compute_dtype=compute_dtype)
     density = trunc_exp(h[..., 0]) * selector

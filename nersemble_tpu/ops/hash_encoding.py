@@ -8,28 +8,33 @@ nersemble_nerfacto_field.py:127-140). Same structure as Instant-NGP:
   use the Instant-NGP spatial hash (prime-XOR, table size a power of two).
 - Trilinear interpolation of the 8 cell corners (optionally smoothstep).
 
-Design for TPU: all levels are processed in one vectorized computation and the
-8 corners are a static unrolled loop, so each corner issues ONE flat gather
-``table[C, E, F] -> [C, N, L, F]`` (XLA lowers this to an efficient dynamic
-gather; the backward is the matching scatter-add). The per-timestep ensemble
-blend is folded into the corner loop so the [N, L*F, H] tensor of the reference
-(hash_ensemble.py:112-156) is never materialized.
+TPU layout design (critical): tiled TPU layouts pad the two minor dims of
+every materialized buffer to (8, 128)-multiples, so tensors shaped like
+[N, L, 8, F] with tiny minor dims would waste 16-64x HBM. Everything here is
+therefore strictly 1-D/2-D with large minor dims:
 
-Packing mirrors the reference trick (hash_ensemble.py:41-52, 79-87): H logical
-tables of F_l features ride in C = H*F_l/8 physical tables of 8 features, so a
-physical entry holds P = 8/F_l logical tables side by side.
+- index/weight math is done column-wise on [N] vectors per (level, corner) and
+  stacked into [N, L*8] matrices (minor dim exactly 128 for L=16);
+- tables are stored FLAT [C, E*F] (entry features contiguous) and gathered as
+  [N, L*8*F] element blocks — one gather per physical table;
+- the corner/packing/blend reductions are expressed as ONE matmul with a
+  constant 0/1 selection matrix [L*8*F, L*F_l], which runs on the MXU and
+  keeps every intermediate 2-D. The per-timestep ensemble blend is folded in
+  as an elementwise multiplier, so the [N, L*F, H] embedding tensor of the
+  reference (hash_ensemble.py:112-156) is never materialized.
 """
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from functools import lru_cache
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-_PRIMES = np.array([1, 2654435761, 805459861], dtype=np.uint32)
-_CORNERS = np.array([[i, j, k] for k in (0, 1) for j in (0, 1) for i in (0, 1)],
-                    dtype=np.int32)  # [8, 3]
+_PRIMES = (np.uint32(1), np.uint32(2654435761), np.uint32(805459861))
+# corner order: bit b of the corner id selects the +1 offset along dim b
+_CORNERS = [(i, j, k) for k in (0, 1) for j in (0, 1) for i in (0, 1)]
 
 
 @dataclass(frozen=True)
@@ -74,9 +79,12 @@ class HashGridLevels:
 def init_hash_table(rng, levels: HashGridLevels, n_tables: int,
                     features_per_entry: int, dtype=jnp.float32,
                     init_scale: float = 1e-4) -> jnp.ndarray:
-    """[C, E, F] table, U(-1e-4, 1e-4) like tcnn's HashGrid default."""
+    """[C, E * F] flat table, U(-1e-4, 1e-4) like tcnn's HashGrid default.
+
+    Entry e's features occupy the contiguous slice [e*F, (e+1)*F) of row c.
+    """
     return jax.random.uniform(
-        rng, (n_tables, levels.total_entries, features_per_entry), dtype,
+        rng, (n_tables, levels.total_entries * features_per_entry), dtype,
         -init_scale, init_scale)
 
 
@@ -84,94 +92,146 @@ def hash_grid_indices(x: jnp.ndarray, levels: HashGridLevels,
                       smoothstep: bool = False):
     """Corner indices and interpolation weights for [N, 3] positions in [0,1].
 
-    Returns (flat_idx [N, L, 8] int32 into the E axis, weights [N, L, 8] f32).
-    Weights are differentiable w.r.t. ``x`` (piecewise-(tri)linear), which is
-    how gradients reach the deformation field through the encoding.
+    Returns (entry_idx [N, L*8] int32 into the E axis, weights [N, L*8] f32).
+    Column (l, corner) = l * 8 + corner. Weights are differentiable w.r.t.
+    ``x`` (piecewise-trilinear) — that is how gradients reach the deformation
+    field through the encoding.
+
+    All math is done on [N] columns and stacked once, so no intermediate has a
+    tiny minor dimension (TPU tile-padding safety).
     """
-    L = levels.n_levels
-    scales = jnp.asarray(levels.scales, jnp.float32)
-    res = jnp.asarray(levels.resolutions, jnp.int32)
-    hashed = jnp.asarray(levels.hashed, jnp.bool_)
-    offsets = jnp.asarray(levels.offsets, jnp.int32)
-    mask = jnp.uint32(2 ** levels.log2_hashmap_size - 1)
+    px_all = [x[:, 0], x[:, 1], x[:, 2]]
+    mask = np.uint32(2 ** levels.log2_hashmap_size - 1)
 
-    pos = x[:, None, :] * scales[None, :, None] + 0.5  # [N, L, 3]
-    grid = jnp.floor(pos)
-    frac = pos - grid  # in [0, 1)
-    if smoothstep:
-        frac = frac * frac * (3.0 - 2.0 * frac)
-    grid = grid.astype(jnp.int32)
+    idx_cols = []
+    w_cols = []
+    for l in range(levels.n_levels):
+        scale = levels.scales[l]
+        res = levels.resolutions[l]
+        grid, frac = [], []
+        for d in range(3):
+            pos = px_all[d] * scale + 0.5
+            g = jnp.floor(pos)
+            f = pos - g
+            if smoothstep:
+                f = f * f * (3.0 - 2.0 * f)
+            grid.append(g.astype(jnp.int32))
+            frac.append(f)
+        for (ci, cj, ck) in _CORNERS:
+            cc = [jnp.clip(grid[d] + o, 0, res - 1)
+                  for d, o in enumerate((ci, cj, ck))]
+            if levels.hashed[l]:
+                h = (cc[0].astype(jnp.uint32) * _PRIMES[0]
+                     ^ cc[1].astype(jnp.uint32) * _PRIMES[1]
+                     ^ cc[2].astype(jnp.uint32) * _PRIMES[2])
+                idx = (h & mask).astype(jnp.int32)
+            else:
+                idx = cc[0] + res * (cc[1] + res * cc[2])
+            idx_cols.append(idx + levels.offsets[l])
+            w = ((frac[0] if ci else 1.0 - frac[0])
+                 * (frac[1] if cj else 1.0 - frac[1])
+                 * (frac[2] if ck else 1.0 - frac[2]))
+            w_cols.append(w)
+    entry_idx = jnp.stack(idx_cols, axis=1)
+    weights = jnp.stack(w_cols, axis=1)
+    return entry_idx, weights
 
-    corners = jnp.asarray(_CORNERS)  # [8, 3]
-    cc = grid[:, :, None, :] + corners[None, None, :, :]  # [N, L, 8, 3]
-    cc = jnp.minimum(cc, (res - 1)[None, :, None, None])
-    cc = jnp.maximum(cc, 0)
 
-    res_b = res[None, :, None]
-    dense_idx = cc[..., 0] + res_b * (cc[..., 1] + res_b * cc[..., 2])
+@lru_cache(maxsize=8)
+def _corner_reduce_matrix(n_levels: int, features_per_entry: int,
+                          features_per_logical: int) -> np.ndarray:
+    """Constant 0/1 matrix S [L*8*F, L*F_l]: S[j, l*F_l + f] = 1 iff flat
+    element j = ((l*8 + corner)*P + p)*F_l + f for some (corner, p).
 
-    ccu = cc.astype(jnp.uint32)
-    hash_idx = (ccu[..., 0] * _PRIMES[0]) ^ (ccu[..., 1] * _PRIMES[1]) \
-        ^ (ccu[..., 2] * _PRIMES[2])
-    hash_idx = (hash_idx & mask).astype(jnp.int32)
+    ``weighted @ S`` sums gathered elements over corners and packed logical
+    tables — the whole trilerp + packing reduction as one MXU matmul.
+    """
+    L, F, Fl = n_levels, features_per_entry, features_per_logical
+    P = F // Fl
+    S = np.zeros((L * 8 * F, L * Fl), np.float32)
+    for l in range(L):
+        for corner in range(8):
+            for p in range(P):
+                for f in range(Fl):
+                    j = ((l * 8 + corner) * F) + p * Fl + f
+                    S[j, l * Fl + f] = 1.0
+    return S
 
-    idx = jnp.where(hashed[None, :, None], hash_idx, dense_idx)
-    flat_idx = idx + offsets[None, :, None]
 
-    # trilinear corner weights: prod_d (corner_d ? frac : 1 - frac)
-    w = jnp.where(corners[None, None, :, :] == 1, frac[:, :, None, :],
-                  1.0 - frac[:, :, None, :])
-    weights = w[..., 0] * w[..., 1] * w[..., 2]  # [N, L, 8]
-    return flat_idx, weights
+def _expand_to_elements(entry_idx: jnp.ndarray, F: int) -> jnp.ndarray:
+    """[N, L*8] entry indices -> [N, L*8*F] flat element indices
+    (each column repeated F times with feature offsets, still 2-D)."""
+    base = jnp.repeat(entry_idx * F, F, axis=1)
+    offs = jnp.tile(jnp.arange(F, dtype=entry_idx.dtype), entry_idx.shape[1])
+    return base + offs[None, :]
 
 
 def hash_encode(table: jnp.ndarray, x: jnp.ndarray, levels: HashGridLevels,
+                features_per_entry: int = 2,
                 smoothstep: bool = False) -> jnp.ndarray:
-    """Single-table encode: table [1 or C, E, F], x [N, 3] -> [N, C * L * F].
+    """Plain encode: table [C, E*F], x [N, 3] -> [N, C * L * F].
 
-    Output layout per table is level-major: [L, F] flattened (tcnn layout).
+    Output layout per table is level-major [L, F] flattened (tcnn layout).
     """
-    flat_idx, weights = hash_grid_indices(x, levels, smoothstep)
-    C = table.shape[0]
-    N, L = x.shape[0], levels.n_levels
-    F = table.shape[-1]
-    out = jnp.zeros((C, N, L, F), jnp.float32)
-    for corner in range(8):
-        g = jnp.take(table, flat_idx[:, :, corner], axis=1)  # [C, N, L, F]
-        out = out + weights[None, :, :, corner, None] * g.astype(jnp.float32)
-    return jnp.moveaxis(out, 0, 1).reshape(N, C * L * F)
+    F = features_per_entry
+    entry_idx, weights = hash_grid_indices(x, levels, smoothstep)
+    S = jnp.asarray(_corner_reduce_matrix(levels.n_levels, F, F))
+
+    # Rematerialized per-table body: the [N, L*8*F] gathered features (~1 GB at
+    # full batch) are recomputed in the backward pass instead of being saved as
+    # autodiff residuals — only the [N, L*8] indices/weights persist.
+    @jax.checkpoint
+    def one_table(table_c, entry_idx, weights):
+        elem = _expand_to_elements(entry_idx, F)
+        w_rep = jnp.repeat(weights, F, axis=1)
+        g = jnp.take(table_c, elem, axis=0).astype(jnp.float32)
+        return jnp.dot(g * w_rep, S, preferred_element_type=jnp.float32)
+
+    outs = [one_table(table[c], entry_idx, weights)
+            for c in range(table.shape[0])]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
 
 
 def hash_encode_blended(table: jnp.ndarray, x: jnp.ndarray, code: jnp.ndarray,
                         levels: HashGridLevels, features_per_logical: int = 2,
+                        features_per_entry: int = 8,
                         smoothstep: bool = False) -> jnp.ndarray:
     """Ensemble encode + per-sample blend: -> [N, L * features_per_logical].
 
-    ``table`` is [C, E, F_phys]; entry features pack P = F_phys /
-    features_per_logical logical tables side by side. ``code`` is [N, H] with
-    H = C * P — the (already windowed) per-sample blend weights. Logical table
-    h = c * P + p, matching the reference's einops rearrange + einsum
-    (hash_ensemble.py:112, 156).
+    ``table`` is [C, E*F_phys] (flat); each entry packs P = F_phys/F_l logical
+    tables side by side; ``code`` is [N, H] (H = C*P) of already-windowed blend
+    weights; logical table h = c*P + p, matching the reference's rearrange +
+    einsum (hash_ensemble.py:112, 156):
 
-    The blend is folded into the 8-corner loop:
-        out[n,l,f] = sum_corner w[n,l,corner] *
-                     sum_{c,p} code[n, c*P+p] * table[c, idx[n,l,corner], p*Fl+f]
+        out[n, l*Fl+f] = sum_{c,corner,p} w[n,l,corner] * code[n, c*P+p]
+                         * table[c, idx[n,l,corner]*F + p*Fl + f]
     """
-    flat_idx, weights = hash_grid_indices(x, levels, smoothstep)
-    C, _, F_phys = table.shape
-    Fl = features_per_logical
-    P = F_phys // Fl
-    N, L = x.shape[0], levels.n_levels
-    code_r = code.reshape(N, C, P).astype(jnp.float32)  # [N, C, P]
+    F, Fl = features_per_entry, features_per_logical
+    P = F // Fl
+    C = table.shape[0]
+    L = levels.n_levels
+    entry_idx, weights = hash_grid_indices(x, levels, smoothstep)
+    S = jnp.asarray(_corner_reduce_matrix(L, F, Fl))
+    code = code.astype(jnp.float32)
 
-    out = jnp.zeros((N, L, Fl), jnp.float32)
-    for corner in range(8):
-        g = jnp.take(table, flat_idx[:, :, corner], axis=1)  # [C, N, L, F_phys]
-        g = g.astype(jnp.float32).reshape(C, N, L, P, Fl)
-        # contract over (C, P) with per-sample code
-        blended = jnp.einsum("cnlpf,ncp->nlf", g, code_r)
-        out = out + weights[:, :, corner, None] * blended
-    return out.reshape(N, L * Fl)
+    # Rematerialized per-table body (see hash_encode): keeps only [N, L*8]
+    # residuals, recomputing the ~1 GB gathered/expanded tensors in backward.
+    @jax.checkpoint
+    def one_table(table_c, code_c, entry_idx, weights):
+        elem = _expand_to_elements(entry_idx, F)
+        w_rep = jnp.repeat(weights, F, axis=1)
+        # this table's blend codes expanded to the flat element axis:
+        # column j = (l, corner, p, f) -> code[n, c*P + p]
+        code_rep = jnp.tile(jnp.repeat(code_c, Fl, axis=1), (1, L * 8))
+        g = jnp.take(table_c, elem, axis=0).astype(jnp.float32)
+        return jnp.dot(g * w_rep * code_rep, S,
+                       preferred_element_type=jnp.float32)
+
+    out = jnp.zeros((x.shape[0], L * Fl), jnp.float32)
+    for c in range(C):
+        out = out + one_table(table[c], code[:, c * P:(c + 1) * P],
+                              entry_idx, weights)
+    return out
 
 
 def hash_table_param_count(levels: HashGridLevels, n_tables: int,

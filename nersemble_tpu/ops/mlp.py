@@ -73,7 +73,9 @@ def init_mlp(rng, in_dim: int, out_dim: int, num_layers: int, layer_width: int,
         scale = out_init_scale if i == num_layers - 1 else None
         layers.append(init_linear(rngs[i], d_in, d_out, bias=bias,
                                   weight_init_scale=scale, dtype=dtype))
-    return {"layers": layers, "skips": tuple(sorted(skips))}
+    # NOTE: skip indices are NOT stored in the params pytree (ints would
+    # become traced leaves under jit); pass them to apply_mlp statically.
+    return {"layers": layers}
 
 
 def apply_linear(layer, x, compute_dtype=jnp.bfloat16):
@@ -85,10 +87,11 @@ def apply_linear(layer, x, compute_dtype=jnp.bfloat16):
 
 
 def apply_mlp(params, x, activation=jax.nn.relu, out_activation=None,
-              compute_dtype=jnp.bfloat16):
-    """Forward through the MLP; returns f32."""
+              compute_dtype=jnp.bfloat16, skip_connections=()):
+    """Forward through the MLP; returns f32. ``skip_connections`` must match
+    the value given to init_mlp (static python ints)."""
     layers = params["layers"]
-    skips = set(params.get("skips", ()))
+    skips = set(skip_connections)
     x_in = x
     h = x
     n = len(layers)

@@ -1,0 +1,73 @@
+"""Image quality metrics in JAX: PSNR, SSIM, MSE (+ masked variants).
+
+Replaces torchmetrics PSNR/SSIM (reference: nersemble_instant_ngp.py:158-160,
+446-449). SSIM follows the torchmetrics/Wang et al. defaults: gaussian window
+11x11 sigma 1.5, k1=0.01, k2=0.03, data_range=1.0, per-channel then averaged.
+
+LPIPS requires pretrained VGG weights which cannot be downloaded in this
+environment; ``lpips`` returns None unless a weights file is provided (see
+utils/lpips.py for the loader).
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def mse(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((pred - target) ** 2)
+
+
+def psnr(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0) -> jnp.ndarray:
+    return 10.0 * jnp.log10(data_range ** 2 / jnp.maximum(mse(pred, target), 1e-12))
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    coords = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-(coords ** 2) / (2 * sigma ** 2))
+    g = g / g.sum()
+    return jnp.outer(g, g)
+
+
+def ssim(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0,
+         kernel_size: int = 11, sigma: float = 1.5,
+         k1: float = 0.01, k2: float = 0.03) -> jnp.ndarray:
+    """[H, W, C] images -> scalar SSIM (valid-window convolution)."""
+    kernel = _gaussian_kernel(kernel_size, sigma)
+    kernel = kernel[None, None, :, :]  # [O=1, I=1, H, W]
+
+    def filt(img):
+        # [H, W, C] -> [C, 1, H, W] depthwise valid conv
+        x = jnp.moveaxis(img, -1, 0)[:, None, :, :]
+        out = jax.lax.conv_general_dilated(
+            x, jnp.tile(kernel, (1, 1, 1, 1)), (1, 1), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        return out[:, 0]
+
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    mu_x = filt(pred)
+    mu_y = filt(target)
+    mu_xx = filt(pred * pred)
+    mu_yy = filt(target * target)
+    mu_xy = filt(pred * target)
+
+    var_x = mu_xx - mu_x ** 2
+    var_y = mu_yy - mu_y ** 2
+    cov = mu_xy - mu_x * mu_y
+
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    num = (2 * mu_x * mu_y + c1) * (2 * cov + c2)
+    den = (mu_x ** 2 + mu_y ** 2 + c1) * (var_x + var_y + c2)
+    return jnp.mean(num / den)
+
+
+def apply_alpha_mask(image: np.ndarray, alpha: np.ndarray,
+                     background: float = 1.0) -> np.ndarray:
+    """Blend an [H, W, 3] image against the background with [H, W] alpha
+    (masked-metric preprocessing, reference: evaluate_nersemble.py:22-35)."""
+    a = alpha[..., None]
+    return a * image + (1 - a) * background

@@ -1,14 +1,19 @@
 """Test config: run everything on an 8-virtual-device CPU mesh.
 
-Multi-chip sharding is validated on virtual CPU devices
-(``xla_force_host_platform_device_count``); the real TPU is exercised by
-``bench.py`` and the driver's compile checks.
+Multi-chip sharding is validated on virtual CPU devices; the real TPU is
+exercised by ``bench.py`` and the driver's compile checks.
+
+NOTE: on this machine the axon TPU plugin ignores the ``JAX_PLATFORMS`` env
+var, so we must force the platform through ``jax.config`` after import.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,105 @@
+"""CLI end-to-end: train -> evaluate -> render -> resume on synthetic data.
+
+Exercises the full user journey at smoke scale (BASELINE.json config 1
+spirit: tiny static-ish model, CPU-runnable).
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import nersemble_tpu.env as env_module
+from tests.synthetic_data import make_synthetic_dataset
+
+SMOKE_ARGS = [
+    "30", "SYN-1",
+    "--max-num-iterations", "8",
+    "--steps-per-save", "6",
+    "--steps-per-eval-image", "0",
+    "--n-train-rays", "64",
+    "--num-levels", "4",
+    "--log2-hashmap-size", "9",
+    "--max-res", "32",
+    "--grid-resolution", "16",
+    "--n-hash-encodings", "4",
+    "--latent-dim-time", "4",
+    "--latent-dim-time-deform", "8",
+    "--mlp-num-layers", "2",
+    "--mlp-layer-width", "16",
+    "--max-samples-per-ray", "24",
+    "--max-candidates-per-ray", "64",
+    "--window-deform-end", "4",
+    "--window-hash-encodings-begin", "4",
+    "--window-hash-encodings-end", "8",
+]
+
+
+@pytest.fixture(scope="module")
+def cli_env(tmp_path_factory, request):
+    root = tmp_path_factory.mktemp("cli_data")
+    models = tmp_path_factory.mktemp("cli_models")
+    renders = tmp_path_factory.mktemp("cli_renders")
+    make_synthetic_dataset(root, n_timesteps=3)
+    old = (env_module.NERSEMBLE_DATA_PATH, env_module.NERSEMBLE_MODELS_PATH,
+           env_module.NERSEMBLE_RENDERS_PATH)
+    env_module.NERSEMBLE_DATA_PATH = str(root)
+    env_module.NERSEMBLE_MODELS_PATH = str(models)
+    env_module.NERSEMBLE_RENDERS_PATH = str(renders)
+
+    def restore():
+        (env_module.NERSEMBLE_DATA_PATH, env_module.NERSEMBLE_MODELS_PATH,
+         env_module.NERSEMBLE_RENDERS_PATH) = old
+
+    request.addfinalizer(restore)
+    return {"data": str(root), "models": str(models), "renders": str(renders)}
+
+
+def test_cli_journey(cli_env):
+    from nersemble_tpu.scripts import (
+        evaluate_nersemble,
+        render_nersemble,
+        train_nersemble,
+    )
+
+    # -- train ----------------------------------------------------------
+    result = train_nersemble.main(SMOKE_ARGS + ["--name", "smoke"])
+    assert np.isfinite(result["loss"])
+
+    run_dir = Path(cli_env["models"]) / "nersemble" / "NERS-001-smoke"
+    assert (run_dir / "config.yml").exists()
+    ckpts = list((run_dir / "checkpoints").glob("step-*.ckpt"))
+    assert len(ckpts) == 1  # save_only_latest
+
+    # -- evaluate -------------------------------------------------------
+    eval_result = evaluate_nersemble.main(
+        ["NERS-001-smoke", "--max-eval-timesteps", "2", "--n-rays-eval", "512"])
+    assert eval_result.mean.regular.psnr is not None
+    result_files = list((run_dir / "evaluation").rglob("evaluation_result.json"))
+    assert len(result_files) == 1
+    data = json.loads(result_files[0].read_text())
+    assert "mean" in data and "per_cam" in data
+    assert set(data["per_cam"].keys()) == {"0", "1", "2", "3"}
+    pngs = list((run_dir / "evaluation").rglob("cam_*.png"))
+    assert len(pngs) == 8  # 4 cams x 2 timesteps
+
+    # -- render ---------------------------------------------------------
+    outputs = render_nersemble.main(
+        ["NERS-001-smoke", "--seconds", "1", "--fps", "2",
+         "--downscale-factor", "8", "--n-rays", "512", "--render-depth"])
+    for channel, path in outputs.items():
+        assert Path(path).exists(), channel
+
+    # -- resume ---------------------------------------------------------
+    result2 = train_nersemble.main(
+        ["30", "SYN-1", "--resume-run", "NERS-001-smoke",
+         "--max-num-iterations", "10"])
+    assert np.isfinite(result2["loss"])
+
+
+def test_validate_poses_cli(cli_env, tmp_path):
+    from nersemble_tpu.scripts import validate_poses
+    out = tmp_path / "poses.png"
+    validate_poses.main(["30", "SYN-1", "--output", str(out)])
+    assert out.exists()

@@ -74,9 +74,8 @@ def model_and_params():
 
 def test_init_param_structure(model_and_params):
     model, params = model_and_params
-    # ensemble: 4 tables x 2 feats -> one physical table of 8 feats
-    assert params["field"]["table"].shape[0] == 1
-    assert params["field"]["table"].shape[-1] == 8
+    # ensemble: 4 tables x 2 feats -> one physical table of 8 feats (flat)
+    assert params["field"]["table"].shape == (1, model.levels.total_entries * 8)
     assert params["time_embedding"].shape == (3, 4)
     assert params["time_embedding_deformation"].shape == (3, 8)
     assert "deformation" in params
@@ -163,8 +162,7 @@ def test_static_model_no_time_components():
     params = model.init_params(jax.random.PRNGKey(0))
     assert "time_embedding" not in params
     assert "deformation" not in params
-    assert params["field"]["table"].shape[0] == 1
-    assert params["field"]["table"].shape[-1] == 2
+    assert params["field"]["table"].shape == (1, model.levels.total_entries * 2)
     rays = make_rays(4, np.random.default_rng(2))
     out = model.render_rays(params, rays, None, {}, train=False)
     assert out["rgb"].shape == (4, 3)
@@ -180,7 +178,8 @@ def test_overfit_single_batch():
     params = model.init_params(jax.random.PRNGKey(0))
     rng = np.random.default_rng(3)
     rays = make_rays(16, rng)
-    batch = {"rgb": jnp.asarray(rng.uniform(size=(16, 3)).astype(np.float32)),
+    # constant-color target: the field can actually fit this in a few steps
+    batch = {"rgb": jnp.tile(jnp.asarray([[0.8, 0.3, 0.2]], jnp.float32), (16, 1)),
              "alpha": jnp.ones((16,), jnp.float32)}
     binaries = jnp.ones((16, 16, 16), bool)
 

@@ -85,7 +85,7 @@ def test_mlp_shapes_and_skip():
     params = init_mlp(rng, in_dim=10, out_dim=5, num_layers=6, layer_width=32,
                       skip_connections=(4,))
     x = jnp.ones((7, 10))
-    out = apply_mlp(params, x)
+    out = apply_mlp(params, x, skip_connections=(4,))
     assert out.shape == (7, 5)
     assert out.dtype == jnp.float32
     # single-layer MLP == plain linear
@@ -101,13 +101,14 @@ def test_mlp_shapes_and_skip():
 # Hash encoding
 # ---------------------------------------------------------------------------
 
-def _naive_hash_encode(table, x, levels):
-    """Straightforward per-level, per-sample trilerp reference (numpy)."""
+def _naive_hash_encode(table, x, levels, F):
+    """Straightforward per-level, per-sample trilerp reference (numpy).
+    ``table`` is the flat [C, E*F] layout; unpacked to [C, E, F] here."""
     table = np.asarray(table)
-    x = np.asarray(x)
     C = table.shape[0]
+    table = table.reshape(C, -1, F)
+    x = np.asarray(x)
     N = x.shape[0]
-    F = table.shape[-1]
     out = np.zeros((N, C, levels.n_levels, F), np.float32)
     for l in range(levels.n_levels):
         scale = levels.scales[l]
@@ -154,8 +155,8 @@ def test_hash_encode_matches_naive(small_levels):
     rng = jax.random.PRNGKey(1)
     table = init_hash_table(rng, small_levels, n_tables=2, features_per_entry=4)
     x = jax.random.uniform(jax.random.PRNGKey(2), (17, 3))
-    out = np.asarray(hash_encode(table, x, small_levels))
-    ref = _naive_hash_encode(table, x, small_levels).reshape(17, -1)
+    out = np.asarray(hash_encode(table, x, small_levels, features_per_entry=4))
+    ref = _naive_hash_encode(table, x, small_levels, 4).reshape(17, -1)
     assert out.shape == (17, 2 * 6 * 4)
     assert np.allclose(out, ref, atol=1e-5)
 
@@ -169,12 +170,13 @@ def test_hash_encode_blended_matches_einsum(small_levels):
     code = jax.random.normal(jax.random.PRNGKey(5), (N, 4))
 
     out = np.asarray(hash_encode_blended(table, x, code, small_levels,
-                                         features_per_logical=2))
+                                         features_per_logical=2,
+                                         features_per_entry=4))
     assert out.shape == (N, 6 * 2)
 
     # reference path: full embeddings then the reference's rearrange + einsum
     # (hash_ensemble.py:112,156): [N, C, L*F_phys] -> [N, L*Fl, C*P] -> blend
-    emb = _naive_hash_encode(table, x, small_levels)  # [N, C, L, F_phys]
+    emb = _naive_hash_encode(table, x, small_levels, 4)  # [N, C, L, F_phys]
     L, Fl, P, C = 6, 2, 2, 2
     emb = emb.reshape(N, C, L, P, Fl)
     emb = np.einsum("nclpf->nlfcp", emb).reshape(N, L * Fl, C * P)
@@ -188,14 +190,15 @@ def test_hash_encode_gradients(small_levels):
     x = jax.random.uniform(jax.random.PRNGKey(7), (5, 3), minval=0.1, maxval=0.9)
 
     def loss_t(t):
-        return jnp.sum(hash_encode(t, x, small_levels) ** 2)
+        return jnp.sum(hash_encode(t, x, small_levels, features_per_entry=2) ** 2)
 
     g_table = jax.grad(loss_t)(table)
     assert np.isfinite(np.asarray(g_table)).all()
     assert np.abs(np.asarray(g_table)).sum() > 0
 
     def loss_x(xx):
-        return jnp.sum(hash_encode(table, xx, small_levels) ** 2)
+        return jnp.sum(hash_encode(table, xx, small_levels,
+                                   features_per_entry=2) ** 2)
 
     g_x = jax.grad(loss_x)(x)
     assert np.isfinite(np.asarray(g_x)).all()

@@ -1,0 +1,161 @@
+"""End-to-end engine tests on the synthetic dataset (tiny model, few steps)."""
+
+import numpy as np
+import pytest
+
+from nersemble_tpu.config import (
+    DataConfig,
+    HashEncodingConfig,
+    HashEnsembleConfig,
+    ModelConfig,
+    OptimizerConfig,
+    SamplingConfig,
+    SE3DeformationFieldConfig,
+    TrainConfig,
+)
+from nersemble_tpu.model_manager import NeRSembleModelFolder
+from tests.synthetic_data import make_synthetic_dataset
+
+
+def tiny_train_config(run_name: str, output_dir: str, **model_overrides) -> TrainConfig:
+    model = ModelConfig(
+        latent_dim_time=4,
+        use_hash_ensemble=True,
+        hash_ensemble=HashEnsembleConfig(
+            n_hash_encodings=4,
+            hash_encoding=HashEncodingConfig(n_levels=4, n_features_per_level=2,
+                                             log2_hashmap_size=9,
+                                             base_resolution=4,
+                                             per_level_scale=1.6),
+            disable_initial_hash_ensemble=True, use_soft_transition=True),
+        use_deformation_field=True,
+        deformation_field=SE3DeformationFieldConfig(
+            n_freq_pos=3, warp_code_dim=8, mlp_num_layers=2,
+            mlp_layer_width=16, skip_connections=()),
+        num_layers=2, hidden_dim=16, geo_feat_dim=7,
+        num_layers_color=2, hidden_dim_color=16,
+        grid_resolution=16,
+        render_step_size=0.2,
+        near_plane=0.2, far_plane=100.0,
+        occupancy_grid_warmup_steps=4,
+        sampling=SamplingConfig(max_samples_per_ray=24, max_candidates_per_ray=64),
+        use_masked_rgb_loss=True, alpha_mask_threshold=0.0,
+        lambda_alpha_loss=1e-2, lambda_near_loss=1e-4, lambda_empty_loss=1e-2,
+        lambda_depth_loss=1e-4, lambda_dist_loss=1e-4,
+        window_deform_begin=0, window_deform_end=4,
+        window_hash_encodings_begin=4, window_hash_encodings_end=8,
+        use_view_frustum_culling=True, view_frustum_culling=2,
+    )
+    for k, v in model_overrides.items():
+        setattr(model, k, v)
+    data = DataConfig(
+        participant_id=30, sequence_name="SYN-1", n_timesteps=-1,
+        scale_factor=9.0, use_alpha_maps=True, use_depth_maps=True,
+        max_eval_timesteps=2,
+        train_num_rays_per_batch=64, eval_num_rays_per_batch=64,
+        train_num_images_to_sample_from=6, train_num_times_to_repeat_images=4)
+    return TrainConfig(
+        run_name=run_name, output_dir=output_dir,
+        max_num_iterations=12, steps_per_save=10, steps_per_log=2,
+        steps_per_eval_batch=0, steps_per_eval_image=0, vis="csv",
+        data=data, model=model,
+        optimizers={
+            "fields": OptimizerConfig(lr=5e-3),
+            "deformation_field": OptimizerConfig(lr=1e-3, scheduler_gamma=0.5),
+            "embeddings": OptimizerConfig(lr=5e-3),
+        })
+
+
+@pytest.fixture(scope="module")
+def env_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("nsdata")
+    models = tmp_path_factory.mktemp("nsmodels")
+    meta = make_synthetic_dataset(root, n_timesteps=3)
+    return str(root), str(models), meta
+
+
+def test_train_checkpoint_resume_eval(env_setup):
+    from nersemble_tpu.engine.trainer import NeRSembleTrainer
+
+    data_root, models_root, meta = env_setup
+    folder = NeRSembleModelFolder(models_path=models_root)
+    manager = folder.new_run(name="e2e")
+    config = tiny_train_config(manager.get_run_name(), folder.get_location())
+
+    trainer = NeRSembleTrainer(config, model_manager=manager,
+                               data_location=data_root,
+                               original_image_size=meta["original_size"])
+    manager.save_config(config)
+    result = trainer.train()
+    trainer.batcher.stop()
+    assert np.isfinite(result["loss"])
+
+    # checkpoint written in reference layout, only latest kept
+    steps = manager.list_checkpoint_steps()
+    assert steps == [11]
+
+    # metrics jsonl written
+    assert (trainer.run_dir / "metrics.jsonl").exists()
+
+    # loss decreased over training (compare first vs last logged)
+    import json
+    records = [json.loads(line) for line in
+               open(trainer.run_dir / "metrics.jsonl")]
+    losses = [r["train_loss"] for r in records if "train_loss" in r]
+    assert losses[-1] < losses[0]
+
+    # full-image eval render
+    image_rays = trainer.eval_loader.image_rays(0)
+    rendered = trainer.render_image(image_rays, step=11, chunk=64)
+    assert rendered["rgb"].shape == (44, 32, 3)
+    assert np.isfinite(rendered["rgb"]).all()
+
+    # resume: new trainer continues from step 12 with identical params
+    config2 = manager.load_config()
+    config2.load_dir = manager.get_checkpoint_folder()
+    config2.max_num_iterations = 14
+    trainer2 = NeRSembleTrainer(config2, model_manager=manager,
+                                data_location=data_root,
+                                original_image_size=meta["original_size"])
+    assert trainer2.start_step == 12
+    import jax
+    for (p1, l1), (p2, l2) in zip(
+            jax.tree_util.tree_leaves_with_path(trainer.params),
+            jax.tree_util.tree_leaves_with_path(trainer2.params)):
+        assert np.allclose(np.asarray(l1), np.asarray(l2), atol=1e-7), p1
+    assert np.allclose(np.asarray(trainer.grid_occs),
+                       np.asarray(trainer2.grid_occs))
+    trainer2.train()
+    trainer2.batcher.stop()
+    assert manager.list_checkpoint_steps() == [13]
+
+
+def test_multichip_sharded_step_matches_single(env_setup):
+    """DP-sharded train step over the 8-device CPU mesh == 1-device step."""
+    import jax
+
+    from nersemble_tpu.engine.trainer import NeRSembleTrainer
+
+    data_root, models_root, meta = env_setup
+    folder = NeRSembleModelFolder(models_path=models_root)
+
+    results = {}
+    for n_dev in (1, 8):
+        manager = folder.new_run(name=f"mesh{n_dev}")
+        config = tiny_train_config(manager.get_run_name(), folder.get_location())
+        config.max_num_iterations = 3
+        config.steps_per_save = 1000
+        config.parallel.data_axis_size = n_dev
+        trainer = NeRSembleTrainer(config, model_manager=manager,
+                                   data_location=data_root,
+                                   original_image_size=meta["original_size"])
+        assert trainer.n_devices == n_dev
+        trainer.train()
+        trainer.batcher.stop()
+        results[n_dev] = jax.device_get(trainer.params)
+
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(results[1]),
+            jax.tree_util.tree_leaves_with_path(results[8])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4, err_msg=str(path))
