@@ -197,6 +197,12 @@ class ModelConfig(ConfigBase):
     window_hash_encodings_begin: int = 0
     window_hash_encodings_end: int = 1
 
+    # Per-sample compute chunking: the deform+field pipeline processes at most
+    # this many samples at once (lax.map over rematerialized chunks), bounding
+    # the ~[chunk, L*8*F] hash-gather buffers in HBM (reference analogue:
+    # max_n_samples_per_batch, nersemble_nerfacto_field.py:259). -1 = no chunking.
+    max_n_samples_per_batch: int = 2 ** 15
+
     # Ray marching
     near_plane: float = 0.2
     far_plane: float = 1e3

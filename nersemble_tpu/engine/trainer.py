@@ -227,9 +227,22 @@ class NeRSembleTrainer:
             self.grid_occs = self._occ_update(self.params, self.grid_occs,
                                               rng, sched)
 
+    def save_dataparser_transforms(self) -> None:
+        """Artifact parity with nerfstudio's dataparser_transforms.json
+        (reference: nersemble_trainer.py:29-31): records the world transform
+        applied by the dataparser so model outputs are relocatable."""
+        import json
+        path = self.run_dir / "dataparser_transforms.json"
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps({
+            "transform": np.eye(4)[:3].tolist(),
+            "scale": float(self.config.data.scale_factor),
+        }, indent=2))
+
     def train(self, max_steps: Optional[int] = None) -> Dict[str, float]:
         cfg = self.config
         max_steps = max_steps or cfg.max_num_iterations
+        self.save_dataparser_transforms()
         base_rng = jax.random.PRNGKey(cfg.seed + 1)
         batch_iter = iter(self.batcher)
         n_rays = cfg.data.train_num_rays_per_batch
@@ -279,6 +292,11 @@ class NeRSembleTrainer:
                     and step % cfg.steps_per_eval_image == 0:
                 self._eval_image(step, image_idx=step // cfg.steps_per_eval_image
                                  % max(len(self.eval_loader), 1))
+                self._train_image(step)
+
+            if cfg.steps_per_eval_all_images and step > 0 \
+                    and step % cfg.steps_per_eval_all_images == 0:
+                self._eval_all_images(step)
 
             if cfg.steps_per_save and step > 0 and step % cfg.steps_per_save == 0:
                 self.save_checkpoint(step)
@@ -352,6 +370,37 @@ class NeRSembleTrainer:
                               rendered["rgb"])
         self.writer.put_image(step, f"cam_{image_rays['entry'].cam_id}_gt", gt)
         return scalars
+
+    def _train_image(self, step: int) -> None:
+        """Render one training view for logging
+        (reference: nersemble_trainer.py:144-162)."""
+        loader = EvalImageLoader(self.train_dataset)
+        image_idx = step % max(len(loader), 1)
+        image_rays = loader.image_rays(image_idx)
+        rendered = self.render_image(image_rays, step)
+        self.writer.put_image(step, f"idx_{image_idx}_rgb", rendered["rgb"],
+                              group="train_images")
+        self.writer.put_image(step, f"idx_{image_idx}_gt", image_rays["gt_rgb"],
+                              group="train_images")
+        self.writer.put_scalars(step, {
+            "train_image_psnr": float(M.psnr(jnp.asarray(rendered["rgb"]),
+                                             jnp.asarray(image_rays["gt_rgb"])))})
+
+    def _eval_all_images(self, step: int) -> None:
+        """Average metrics over every eval view
+        (reference: nersemble_trainer.py:164-167)."""
+        psnrs, ssims = [], []
+        for image_idx in range(len(self.eval_loader)):
+            image_rays = self.eval_loader.image_rays(image_idx)
+            rendered = self.render_image(image_rays, step)
+            gt = jnp.asarray(image_rays["gt_rgb"])
+            rgb = jnp.asarray(rendered["rgb"])
+            psnrs.append(float(M.psnr(rgb, gt)))
+            ssims.append(float(M.ssim(rgb, gt)))
+        self.writer.put_scalars(step, {
+            "eval_all_psnr": float(np.mean(psnrs)),
+            "eval_all_ssim": float(np.mean(ssims)),
+        })
 
     # ------------------------------------------------------------------
     # checkpointing

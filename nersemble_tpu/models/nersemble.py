@@ -64,6 +64,15 @@ class NeRSembleModel:
         if config.use_hash_ensemble:
             assert config.latent_dim_time == config.hash_ensemble.n_hash_encodings, \
                 "latent_dim_time must equal n_hash_encodings for the blend"
+        if config.cone_angle != 0.0:
+            raise NotImplementedError(
+                "cone_angle > 0 (growing step sizes) is not implemented; all "
+                "reference train configs use cone_angle=0 "
+                "(train_nersemble.py:98)")
+        if config.grid_levels != 1:
+            raise NotImplementedError(
+                "multi-level occupancy grids are not implemented; the "
+                "reference trains with grid_levels=1 (train_nersemble.py:102)")
 
     # -- parameters ----------------------------------------------------------
 
@@ -111,19 +120,48 @@ class NeRSembleModel:
                 tc_def = tc
         return tc, tc_def
 
+    # -- chunked per-sample evaluation ---------------------------------------
+
+    def _chunked_samples(self, body, inputs: tuple, n: int):
+        """Run ``body(*inputs)`` over the leading sample axis in chunks of
+        ``max_n_samples_per_batch`` via lax.map, with each chunk
+        rematerialized (backward recomputes the hash gathers). Bounds the
+        [chunk, L*8*F] gather buffers in HBM — the TPU analogue of the
+        reference's max_n_samples_per_batch chunker (util/chunker.py:7-28)."""
+        chunk = self.config.max_n_samples_per_batch
+        if chunk == -1 or n <= chunk:
+            return body(*inputs)
+        k = -(-n // chunk)
+        pad = k * chunk - n
+
+        def prep(a):
+            if pad:
+                a = jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)])
+            return a.reshape(k, chunk, *a.shape[1:])
+
+        stacked = tuple(prep(a) for a in inputs)
+        out = jax.lax.map(jax.checkpoint(lambda args: body(*args)), stacked)
+        return jax.tree_util.tree_map(
+            lambda o: o.reshape(k * chunk, *o.shape[2:])[:n], out)
+
     # -- density with deformation composed (for occupancy + sampler) ---------
 
     def density_at(self, params, positions, timesteps, sched):
         """sigma at [N, 3] world positions / [N] integer timesteps
         (reference field_density_fn: nersemble_instant_ngp.py:235-266)."""
         cfg = self.config
-        tc, tc_def = self._time_codes(params, timesteps)
-        positions = self._warp_positions(params, positions, tc_def, sched)
-        density, _ = field_density(params["field"], positions, tc, cfg,
-                                   self.levels, self.aabb_min, self.aabb_max,
-                                   window_hash=sched.get("window_hash"),
-                                   compute_dtype=self.compute_dtype)
-        return density
+
+        def body(positions, timesteps):
+            tc, tc_def = self._time_codes(params, timesteps)
+            warped = self._warp_positions(params, positions, tc_def, sched)
+            density, _ = field_density(params["field"], warped, tc, cfg,
+                                       self.levels, self.aabb_min, self.aabb_max,
+                                       window_hash=sched.get("window_hash"),
+                                       compute_dtype=self.compute_dtype)
+            return density
+
+        return self._chunked_samples(body, (positions, timesteps),
+                                     positions.shape[0])
 
     def _warp_positions(self, params, positions, tc_def, sched):
         cfg = self.config
@@ -192,40 +230,43 @@ class NeRSembleModel:
         timesteps = rays.get("timesteps")
         if timesteps is None:
             timesteps = jnp.zeros((R,), jnp.int32)
-        tc, tc_def = self._time_codes(params, timesteps)
 
         positions = samples.positions(origins, directions)  # [R, S, 3]
         flat_pos = positions.reshape(R * S, 3)
-
-        offsets_norm = None
-        if cfg.use_deformation_field:
-            norm = (flat_pos - self.aabb_min) / (self.aabb_max - self.aabb_min)
-            warp_codes = jnp.broadcast_to(tc_def[:, None, :],
-                                          (R, S, tc_def.shape[-1])).reshape(R * S, -1)
-            offsets_norm = deformation_offsets(
-                params["deformation"], norm, warp_codes, cfg.deformation_field,
-                window_param=sched.get("window_deform"),
-                compute_dtype=self.compute_dtype)
-            flat_pos = flat_pos + offsets_norm
-
-        flat_tc = None
-        if tc is not None:
-            flat_tc = jnp.broadcast_to(tc[:, None, :],
-                                       (R, S, tc.shape[-1])).reshape(R * S, -1)
-
-        density, geo = field_density(params["field"], flat_pos, flat_tc, cfg,
-                                     self.levels, self.aabb_min, self.aabb_max,
-                                     window_hash=sched.get("window_hash"),
-                                     compute_dtype=self.compute_dtype)
-
-        flat_dirs = jnp.broadcast_to(directions[:, None, :], (R, S, 3)).reshape(R * S, 3)
+        flat_ts = jnp.broadcast_to(timesteps[:, None], (R, S)).reshape(R * S)
+        flat_dirs = jnp.broadcast_to(directions[:, None, :],
+                                     (R, S, 3)).reshape(R * S, 3)
         cam_idx = rays.get("camera_indices")
-        flat_cam = None
-        if cam_idx is not None:
-            flat_cam = jnp.broadcast_to(cam_idx[:, None], (R, S)).reshape(R * S)
-        rgbs = field_rgb(params["field"], flat_dirs, geo, cfg,
-                         camera_indices=flat_cam, train=train,
-                         compute_dtype=self.compute_dtype)
+        if cam_idx is None:
+            cam_idx = jnp.zeros((R,), jnp.int32)
+        flat_cam = jnp.broadcast_to(cam_idx[:, None], (R, S)).reshape(R * S)
+
+        def body(pos, ts, dirs, cam):
+            tc, tc_def = self._time_codes(params, ts)
+            offsets = None
+            if cfg.use_deformation_field:
+                norm = (pos - self.aabb_min) / (self.aabb_max - self.aabb_min)
+                offsets = deformation_offsets(
+                    params["deformation"], norm, tc_def, cfg.deformation_field,
+                    window_param=sched.get("window_deform"),
+                    compute_dtype=self.compute_dtype)
+                pos = pos + offsets
+            density, geo = field_density(params["field"], pos, tc, cfg,
+                                         self.levels, self.aabb_min,
+                                         self.aabb_max,
+                                         window_hash=sched.get("window_hash"),
+                                         compute_dtype=self.compute_dtype)
+            rgb = field_rgb(params["field"], dirs, geo, cfg,
+                            camera_indices=cam, train=train,
+                            compute_dtype=self.compute_dtype)
+            if offsets is None:
+                offsets = jnp.zeros_like(pos)
+            return density, rgb, offsets
+
+        density, rgbs, offsets_norm = self._chunked_samples(
+            body, (flat_pos, flat_ts, flat_dirs, flat_cam), R * S)
+        if not cfg.use_deformation_field:
+            offsets_norm = None
 
         sigmas = density.reshape(R, S)
         weights, trans = render_weights(sigmas, samples.t_starts, samples.t_ends,
