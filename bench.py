@@ -56,7 +56,7 @@ def main():
     lrs = {"fields": jnp.float32(5e-3), "deformation_field": jnp.float32(1e-3),
            "embeddings": jnp.float32(5e-3)}
 
-    def train_step(params, opt_state, batch, rng_key):
+    def train_step(params, opt_state, binaries_grid, batch, rng_key):
         def loss_fn(p):
             out = model.render_rays(p, batch, binaries_grid, sched, rng=rng_key,
                                     train=True)
@@ -71,14 +71,15 @@ def main():
     step = jax.jit(train_step, donate_argnums=(0, 1))
 
     # warmup / compile
-    params, opt_state, total, n_samples = step(params, opt_state, batch,
-                                               jax.random.PRNGKey(0))
+    params, opt_state, total, n_samples = step(params, opt_state, binaries_grid,
+                                               batch, jax.random.PRNGKey(0))
     jax.block_until_ready(total)
 
     n_iters = 30
     t0 = time.perf_counter()
     for i in range(n_iters):
-        params, opt_state, total, n_samples = step(params, opt_state, batch,
+        params, opt_state, total, n_samples = step(params, opt_state,
+                                                   binaries_grid, batch,
                                                    jax.random.PRNGKey(i + 1))
     jax.block_until_ready(total)
     dt = time.perf_counter() - t0

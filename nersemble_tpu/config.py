@@ -244,6 +244,11 @@ class ModelConfig(ConfigBase):
     # Numerics
     compute_dtype: str = "bfloat16"  # MLP/hash compute dtype; densities are f32
     param_dtype: str = "float32"
+    # Run MLP chains as fused Pallas kernels on TPU (jnp fallback elsewhere)
+    use_fused_mlp: bool = True
+    # Shard the hash-ensemble table axis over the mesh (tensor parallelism;
+    # set by the trainer from ParallelConfig.shard_hash_tables)
+    shard_hash_tables: bool = False
 
 
 # ---------------------------------------------------------------------------

@@ -73,10 +73,20 @@ class NeRSembleTrainer:
         config.model.n_timesteps = config.data.n_timesteps
         config.model.scene_box = self.train_outputs.scene_box.tolist()
         config.model.num_images = self.train_outputs.n_images
-        self.model = NeRSembleModel(config.model)
 
         self.mesh = mesh_lib.make_mesh(config.parallel.data_axis_size)
         self.n_devices = self.mesh.devices.size
+
+        # optional tensor parallelism over the hash-table axis
+        if config.parallel.shard_hash_tables:
+            from nersemble_tpu.models.field import ensemble_layout
+            n_tables = ensemble_layout(config.model)[0]
+            if n_tables % self.n_devices == 0:
+                config.model.shard_hash_tables = True
+            else:
+                print(f"[nersemble-tpu] shard_hash_tables disabled: {n_tables} "
+                      f"physical tables not divisible by {self.n_devices} devices")
+        self.model = NeRSembleModel(config.model)
 
         # grid mask = frustum culling (host precompute), optionally ANDed with
         # the eval-time connected-component filter; passed into the jitted fns
@@ -93,6 +103,8 @@ class NeRSembleTrainer:
         # -- state -----------------------------------------------------------
         rng = jax.random.PRNGKey(config.seed)
         self.params = self.model.init_params(rng)
+        self.param_shardings = self._build_param_shardings()
+        self.params = jax.device_put(self.params, self.param_shardings)
         self.optimizer = make_optimizer()
         self.opt_state = self.optimizer.init(self.params)
         self.grid_occs = self.model.init_grid_occs()
@@ -112,6 +124,24 @@ class NeRSembleTrainer:
         self.writer = writer or MetricsWriter(self.run_dir,
                                               enabled=config.vis != "none")
         self._build_steps()
+
+    def _build_param_shardings(self):
+        """Pytree of NamedShardings for the params: everything replicated
+        except (optionally) the hash table, sharded [C/devices, ...] over the
+        mesh's data axis — the TP layout of SURVEY.md section 2c. The Adam
+        moments inherit these shardings via optimizer.init."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        replicated = mesh_lib.replicated(self.mesh)
+        table_sharding = NamedSharding(self.mesh, P("data", None)) \
+            if self.config.model.shard_hash_tables else replicated
+
+        def spec(path, leaf):
+            keys = tuple(getattr(k, "key", None) for k in path)
+            if keys[:2] == ("field", "table"):
+                return table_sharding
+            return replicated
+
+        return jax.tree_util.tree_map_with_path(spec, self.params)
 
     # ------------------------------------------------------------------
     # compiled functions
@@ -149,7 +179,9 @@ class NeRSembleTrainer:
         self._train_step = jax.jit(
             train_step,
             donate_argnums=(0, 1),
-            in_shardings=(replicated, replicated, replicated, replicated,
+            # params/opt_state shardings are inferred from the committed
+            # arrays (replicated, or table-sharded in TP mode)
+            in_shardings=(None, None, replicated, replicated,
                           sharded, replicated, replicated, replicated),
         )
 
@@ -170,7 +202,7 @@ class NeRSembleTrainer:
             return {k: out[k] for k in keep if k in out}
 
         self._render_chunk = jax.jit(render_chunk,
-                                     in_shardings=(replicated, replicated,
+                                     in_shardings=(None, replicated,
                                                    replicated, sharded,
                                                    replicated))
 
@@ -430,7 +462,9 @@ class NeRSembleTrainer:
             path = load_dir / f"step-{steps[-1]:09d}.ckpt"
         step, params, opt_state, grid_occs = checkpoints.load_checkpoint(
             path, self.params, self.opt_state, self.grid_occs)
-        self.params = jax.device_put(params)
-        self.opt_state = jax.device_put(opt_state)
+        self.params = jax.device_put(params, self.param_shardings)
+        self.opt_state = jax.device_put(
+            opt_state, jax.tree_util.tree_map(lambda x: x.sharding,
+                                              self.opt_state))
         self.grid_occs = jnp.asarray(grid_occs)
         self.start_step = step + 1

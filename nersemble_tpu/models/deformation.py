@@ -42,21 +42,28 @@ def deformation_offsets(params,
                         warp_code: jnp.ndarray,
                         config: SE3DeformationFieldConfig,
                         window_param=None,
-                        compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+                        compute_dtype=jnp.bfloat16,
+                        use_fused_mlp: bool = True) -> jnp.ndarray:
     """[..., 3] AABB-normalized positions + [..., D] warp codes -> offsets.
 
     Offsets are expressed in normalized-space units and NaN-guarded to zero
     (reference: deformation_field.py:101-102 falls back to the unwarped point).
     """
+    from nersemble_tpu.ops.fused_mlp import fused_mlp_apply
     from nersemble_tpu.ops.mlp import apply_linear
 
     enc = windowed_posenc(positions_normalized, config.n_freq_pos,
                           min_freq_exp=0.0, max_freq_exp=config.n_freq_pos - 1,
                           include_input=True, window_param=window_param)
-    feat = apply_mlp(params["stem"],
-                     jnp.concatenate([enc, warp_code.astype(enc.dtype)], axis=-1),
-                     out_activation=jax.nn.relu, compute_dtype=compute_dtype,
-                     skip_connections=tuple(config.skip_connections))
+    stem_in = jnp.concatenate([enc, warp_code.astype(enc.dtype)], axis=-1)
+    if use_fused_mlp:
+        feat = fused_mlp_apply(params["stem"], stem_in, out_activation="relu",
+                               compute_dtype=compute_dtype,
+                               skip_connections=tuple(config.skip_connections))
+    else:
+        feat = apply_mlp(params["stem"], stem_in,
+                         out_activation=jax.nn.relu, compute_dtype=compute_dtype,
+                         skip_connections=tuple(config.skip_connections))
     r = apply_linear(params["head_r"], feat, compute_dtype).astype(jnp.float32)
     v = apply_linear(params["head_v"], feat, compute_dtype).astype(jnp.float32)
     screw = jnp.concatenate([v, r], axis=-1)  # [v, r] ordering like pytorch3d

@@ -25,6 +25,7 @@ from nersemble_tpu.ops.hash_encoding import (
     init_hash_table,
 )
 from nersemble_tpu.ops.hash_ensemble import effective_blend_code
+from nersemble_tpu.ops.fused_mlp import fused_mlp_apply
 from nersemble_tpu.ops.mlp import apply_mlp, init_mlp
 from nersemble_tpu.ops.sh import sh_encoding, shift_directions
 from nersemble_tpu.ops.trunc_exp import trunc_exp
@@ -121,12 +122,17 @@ def field_density(params, positions_world: jnp.ndarray,
         base_in = hash_encode_blended(params["table"], norm, code, levels,
                                       features_per_logical=f_l,
                                       features_per_entry=f_phys,
-                                      smoothstep=smoothstep)
+                                      smoothstep=smoothstep,
+                                      vmap_tables=config.shard_hash_tables)
     else:
         base_in = hash_encode(params["table"], norm, levels,
                               features_per_entry=f_phys, smoothstep=smoothstep)
 
-    h = apply_mlp(params["mlp_base"], base_in, compute_dtype=compute_dtype)
+    if config.use_fused_mlp:
+        h = fused_mlp_apply(params["mlp_base"], base_in,
+                            compute_dtype=compute_dtype)
+    else:
+        h = apply_mlp(params["mlp_base"], base_in, compute_dtype=compute_dtype)
     density = trunc_exp(h[..., 0]) * selector
     geo = h[..., 1:]
     return density, geo
@@ -157,5 +163,8 @@ def field_rgb(params, directions: jnp.ndarray, geo: jnp.ndarray,
         inputs.append(app)
 
     h = jnp.concatenate([i.astype(jnp.float32) for i in inputs], axis=-1)
+    if config.use_fused_mlp:
+        return fused_mlp_apply(params["mlp_head"], h, out_activation="sigmoid",
+                               compute_dtype=compute_dtype)
     return apply_mlp(params["mlp_head"], h, out_activation=jax.nn.sigmoid,
                      compute_dtype=compute_dtype)

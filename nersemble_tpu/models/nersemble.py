@@ -171,7 +171,8 @@ class NeRSembleModel:
         offsets = deformation_offsets(params["deformation"], norm, tc_def,
                                       cfg.deformation_field,
                                       window_param=sched.get("window_deform"),
-                                      compute_dtype=self.compute_dtype)
+                                      compute_dtype=self.compute_dtype,
+                                      use_fused_mlp=cfg.use_fused_mlp)
         # world-space composition quirk (see module docstring)
         return positions + offsets
 
@@ -249,7 +250,8 @@ class NeRSembleModel:
                 offsets = deformation_offsets(
                     params["deformation"], norm, tc_def, cfg.deformation_field,
                     window_param=sched.get("window_deform"),
-                    compute_dtype=self.compute_dtype)
+                    compute_dtype=self.compute_dtype,
+                    use_fused_mlp=cfg.use_fused_mlp)
                 pos = pos + offsets
             density, geo = field_density(params["field"], pos, tc, cfg,
                                          self.levels, self.aabb_min,

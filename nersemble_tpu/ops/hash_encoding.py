@@ -195,7 +195,8 @@ def hash_encode(table: jnp.ndarray, x: jnp.ndarray, levels: HashGridLevels,
 def hash_encode_blended(table: jnp.ndarray, x: jnp.ndarray, code: jnp.ndarray,
                         levels: HashGridLevels, features_per_logical: int = 2,
                         features_per_entry: int = 8,
-                        smoothstep: bool = False) -> jnp.ndarray:
+                        smoothstep: bool = False,
+                        vmap_tables: bool = False) -> jnp.ndarray:
     """Ensemble encode + per-sample blend: -> [N, L * features_per_logical].
 
     ``table`` is [C, E*F_phys] (flat); each entry packs P = F_phys/F_l logical
@@ -226,6 +227,16 @@ def hash_encode_blended(table: jnp.ndarray, x: jnp.ndarray, code: jnp.ndarray,
         g = jnp.take(table_c, elem, axis=0).astype(jnp.float32)
         return jnp.dot(g * w_rep * code_rep, S,
                        preferred_element_type=jnp.float32)
+
+    if vmap_tables:
+        # Tensor-parallel form: keep the table axis as a mapped dim so GSPMD
+        # can leave each table's gather on its own shard when ``table`` is
+        # sharded [C/devices, ...]; the final sum over tables lowers to an
+        # all-reduce over ICI (SURVEY.md section 2c's TP design).
+        code_per_c = code.reshape(x.shape[0], C, P).transpose(1, 0, 2)
+        outs = jax.vmap(one_table, in_axes=(0, 0, None, None))(
+            table, code_per_c, entry_idx, weights)
+        return jnp.sum(outs, axis=0)
 
     out = jnp.zeros((x.shape[0], L * Fl), jnp.float32)
     for c in range(C):

@@ -108,12 +108,16 @@ def march_rays(origins: jnp.ndarray,
         occupied = occupancy_lookup(binaries, pos, aabb_min, aabb_max)
         valid = valid & occupied
 
-    # Stable-sort compaction: occupied candidates to the front, order kept.
-    order = jnp.argsort(jnp.logical_not(valid), axis=-1, stable=True)
-    order = order[:, :max_samples_per_ray]
+    # Compaction via top_k on an index key: the S smallest candidate indices
+    # among the valid ones are exactly the first S valid samples (ascending t
+    # preserved). Much cheaper on TPU than a full [R, n_candidates] sort.
+    big = jnp.int32(n_candidates + 1)
+    key = jnp.where(valid, jnp.arange(n_candidates, dtype=jnp.int32)[None, :],
+                    big)
+    neg_vals, order = jax.lax.top_k(-key, max_samples_per_ray)
     t_starts = jnp.take_along_axis(t0, order, axis=-1)
     t_ends = jnp.take_along_axis(t1, order, axis=-1)
-    mask = jnp.take_along_axis(valid, order, axis=-1)
+    mask = neg_vals > -big
 
     n_valid_total = jnp.sum(valid, axis=-1)
     info = {

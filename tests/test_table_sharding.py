@@ -1,0 +1,71 @@
+"""Tensor-parallel hash-table sharding: TP step == replicated step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nersemble_tpu.model_manager import NeRSembleModelFolder
+from tests.synthetic_data import make_synthetic_dataset
+from tests.test_trainer import tiny_train_config
+
+
+def test_vmap_tables_matches_loop():
+    """The vmapped (TP-form) blended encode == the unrolled-loop form."""
+    from nersemble_tpu.ops.hash_encoding import (
+        HashGridLevels,
+        hash_encode_blended,
+        init_hash_table,
+    )
+
+    levels = HashGridLevels.create(n_levels=4, log2_hashmap_size=9,
+                                   base_resolution=4, per_level_scale=1.6)
+    table = init_hash_table(jax.random.PRNGKey(0), levels, n_tables=8,
+                            features_per_entry=8)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (33, 3))
+    code = jax.random.normal(jax.random.PRNGKey(2), (33, 32))
+    out_loop = hash_encode_blended(table, x, code, levels,
+                                   features_per_logical=2, features_per_entry=8)
+    out_vmap = hash_encode_blended(table, x, code, levels,
+                                   features_per_logical=2, features_per_entry=8,
+                                   vmap_tables=True)
+    np.testing.assert_allclose(np.asarray(out_vmap), np.asarray(out_loop),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_table_sharded_training_matches_replicated(tmp_path_factory):
+    """Full train steps with the table sharded over 8 devices == replicated."""
+    from nersemble_tpu.engine.trainer import NeRSembleTrainer
+
+    root = tmp_path_factory.mktemp("nsdata")
+    models = tmp_path_factory.mktemp("nsmodels")
+    meta = make_synthetic_dataset(root, n_timesteps=2)
+    folder = NeRSembleModelFolder(models_path=str(models))
+
+    results = {}
+    for shard in (False, True):
+        manager = folder.new_run(name=f"tp{int(shard)}")
+        config = tiny_train_config(manager.get_run_name(), folder.get_location())
+        # 32 logical x 2 features -> 8 physical tables: divides over 8 devices
+        config.model.hash_ensemble.n_hash_encodings = 32
+        config.model.latent_dim_time = 32
+        config.max_num_iterations = 3
+        config.steps_per_save = 1000
+        config.parallel.data_axis_size = 8
+        config.parallel.shard_hash_tables = shard
+        trainer = NeRSembleTrainer(config, model_manager=manager,
+                                   data_location=str(root),
+                                   original_image_size=meta["original_size"])
+        if shard:
+            assert config.model.shard_hash_tables
+            table = trainer.params["field"]["table"]
+            assert not table.sharding.is_fully_replicated
+        trainer.train()
+        trainer.batcher.stop()
+        results[shard] = jax.device_get(trainer.params)
+
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(results[False]),
+            jax.tree_util.tree_leaves_with_path(results[True])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-3, err_msg=str(path))
