@@ -77,15 +77,15 @@ class NeRSembleTrainer:
         self.mesh = mesh_lib.make_mesh(config.parallel.data_axis_size)
         self.n_devices = self.mesh.devices.size
 
-        # optional tensor parallelism over the hash-table axis
+        # optional tensor parallelism over the hash-table feature axis
         if config.parallel.shard_hash_tables:
-            from nersemble_tpu.models.field import ensemble_layout
-            n_tables = ensemble_layout(config.model)[0]
-            if n_tables % self.n_devices == 0:
+            from nersemble_tpu.models.field import table_row_width
+            row_width = table_row_width(config.model)[0]
+            if row_width % self.n_devices == 0:
                 config.model.shard_hash_tables = True
             else:
-                print(f"[nersemble-tpu] shard_hash_tables disabled: {n_tables} "
-                      f"physical tables not divisible by {self.n_devices} devices")
+                print(f"[nersemble-tpu] shard_hash_tables disabled: row width "
+                      f"{row_width} not divisible by {self.n_devices} devices")
         self.model = NeRSembleModel(config.model)
 
         # grid mask = frustum culling (host precompute), optionally ANDed with
@@ -132,7 +132,9 @@ class NeRSembleTrainer:
         moments inherit these shardings via optimizer.init."""
         from jax.sharding import NamedSharding, PartitionSpec as P
         replicated = mesh_lib.replicated(self.mesh)
-        table_sharding = NamedSharding(self.mesh, P("data", None)) \
+        # feature-axis sharding: gathers stay shard-local, the blend matmul
+        # contracts over the sharded axis (GSPMD inserts the all-reduce)
+        table_sharding = NamedSharding(self.mesh, P(None, "data")) \
             if self.config.model.shard_hash_tables else replicated
 
         def spec(path, leaf):

@@ -45,22 +45,20 @@ def build_levels(config: ModelConfig) -> HashGridLevels:
                                  config.base_resolution, growth)
 
 
-def ensemble_layout(config: ModelConfig) -> Tuple[int, int, int]:
-    """(n_physical_tables C, features_per_entry F_phys, features_per_logical F_l).
+def table_row_width(config: ModelConfig) -> Tuple[int, int]:
+    """(row_width W, features_per_logical F_l) for the shared [E, W] table.
 
-    Mirrors the reference packing (hash_ensemble.py:41-52, 79-87): H logical
-    tables x F_l features become C = ceil(H * F_l / 8) physical tables of 8
-    features (or a single table of H * F_l features when that's < 8).
+    All logical tables share indices (identical hash function; reference:
+    hash_ensemble.py:41-52), so the whole ensemble lives in one array whose
+    row packs every logical table's features: W = H * F_l (2 for the plain
+    single-grid field). This makes the HBM gather ONE fat-row fetch per
+    (sample, level, corner) — the dominant cost on TPU.
     """
     if not config.use_hash_ensemble:
-        return 1, 2, 2
+        return 2, 2
     he = config.hash_ensemble
     f_l = he.hash_encoding.n_features_per_level
-    total = he.n_hash_encodings * f_l
-    if total >= 8:
-        assert total % 8 == 0, "n_hash_encodings * features_per_level must be a multiple of 8"
-        return total // 8, 8, f_l
-    return 1, total, f_l
+    return he.n_hash_encodings * f_l, f_l
 
 
 def direction_encoding_dim(config: ModelConfig) -> int:
@@ -70,11 +68,11 @@ def direction_encoding_dim(config: ModelConfig) -> int:
 
 def init_field(rng, config: ModelConfig, levels: HashGridLevels):
     table_rng, base_rng, head_rng, app_rng = jax.random.split(rng, 4)
-    C, F_phys, F_l = ensemble_layout(config)
-    table = init_hash_table(table_rng, levels, C, F_phys,
+    row_width, f_l = table_row_width(config)
+    table = init_hash_table(table_rng, levels, row_width,
                             dtype=jnp.dtype(config.param_dtype))
 
-    base_in_dim = levels.n_levels * F_l
+    base_in_dim = levels.n_levels * f_l
     mlp_base = init_mlp(base_rng, base_in_dim, 1 + config.geo_feat_dim,
                         config.num_layers, config.hidden_dim, bias=False)
 
@@ -113,7 +111,7 @@ def field_density(params, positions_world: jnp.ndarray,
 
     smoothstep = (config.use_hash_ensemble
                   and config.hash_ensemble.hash_encoding.interpolation == "Smoothstep")
-    _, f_phys, f_l = ensemble_layout(config)
+    _, f_l = table_row_width(config)
     if config.use_hash_ensemble:
         he = config.hash_ensemble
         code = effective_blend_code(
@@ -121,12 +119,10 @@ def field_density(params, positions_world: jnp.ndarray,
             he.disable_initial_hash_ensemble, he.use_soft_transition)
         base_in = hash_encode_blended(params["table"], norm, code, levels,
                                       features_per_logical=f_l,
-                                      features_per_entry=f_phys,
-                                      smoothstep=smoothstep,
-                                      vmap_tables=config.shard_hash_tables)
+                                      smoothstep=smoothstep)
     else:
         base_in = hash_encode(params["table"], norm, levels,
-                              features_per_entry=f_phys, smoothstep=smoothstep)
+                              smoothstep=smoothstep)
 
     if config.use_fused_mlp:
         h = fused_mlp_apply(params["mlp_base"], base_in,

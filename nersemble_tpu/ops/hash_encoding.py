@@ -1,4 +1,4 @@
-"""Multiresolution hash-grid encoding — TPU-native (XLA gather based).
+"""Multiresolution hash-grid encoding — TPU-native (row-gather based).
 
 Replaces tcnn's CUDA HashGrid encoding (reference: hash_ensemble.py:41-52,
 nersemble_nerfacto_field.py:127-140). Same structure as Instant-NGP:
@@ -8,20 +8,26 @@ nersemble_nerfacto_field.py:127-140). Same structure as Instant-NGP:
   use the Instant-NGP spatial hash (prime-XOR, table size a power of two).
 - Trilinear interpolation of the 8 cell corners (optionally smoothstep).
 
-TPU layout design (critical): tiled TPU layouts pad the two minor dims of
-every materialized buffer to (8, 128)-multiples, so tensors shaped like
-[N, L, 8, F] with tiny minor dims would waste 16-64x HBM. Everything here is
-therefore strictly 1-D/2-D with large minor dims:
+TPU performance design (measured on v5e):
 
-- index/weight math is done column-wise on [N] vectors per (level, corner) and
-  stacked into [N, L*8] matrices (minor dim exactly 128 for L=16);
-- tables are stored FLAT [C, E*F] (entry features contiguous) and gathered as
-  [N, L*8*F] element blocks — one gather per physical table;
-- the corner/packing/blend reductions are expressed as ONE matmul with a
-  constant 0/1 selection matrix [L*8*F, L*F_l], which runs on the MXU and
-  keeps every intermediate 2-D. The per-timestep ensemble blend is folded in
-  as an elementwise multiplier, so the [N, L*F, H] embedding tensor of the
-  reference (hash_ensemble.py:112-156) is never materialized.
+1. **Row gathers, not element gathers.** XLA's TPU gather is per-row overhead
+   bound (~tens of millions of rows/s regardless of row width), so the number
+   of gathered rows is THE cost. All H logical tables of the ensemble use the
+   same hash function and positions — only their contents differ — so the
+   whole ensemble is ONE array [E, W] whose row packs every logical table's
+   features (W = H * F_l, logical-table-major: column h*F_l + f). One gather
+   serves all tables: 8x fewer rows than per-table storage.
+2. **Tile-layout discipline.** All materialized tensors are 1-D/2-D with a
+   large minor dim (TPU pads the two minor dims to (8, 128) tiles): index
+   math is column-wise stacked to [N, L*8]; gathered rows flatten to
+   [N, L*8*W]; the corner/blend reductions run as ONE matmul against a
+   constant 0/1 selection matrix on the MXU. The [N, L*F, H] embedding tensor
+   of the reference (hash_ensemble.py:112-156) is never materialized.
+3. **Rematerialization.** The gather body is ``jax.checkpoint``-ed so backward
+   recomputes the row tensor instead of saving it per chunk.
+4. **Tensor parallelism** = shard the table's FEATURE axis [E, W] ->
+   [E, W/devices]: gathers stay local per shard and GSPMD turns the blend
+   matmul's contraction into an all-reduce (SURVEY.md section 2c).
 """
 
 from dataclasses import dataclass
@@ -76,16 +82,15 @@ class HashGridLevels:
                               offset, log2_hashmap_size)
 
 
-def init_hash_table(rng, levels: HashGridLevels, n_tables: int,
-                    features_per_entry: int, dtype=jnp.float32,
-                    init_scale: float = 1e-4) -> jnp.ndarray:
-    """[C, E * F] flat table, U(-1e-4, 1e-4) like tcnn's HashGrid default.
+def init_hash_table(rng, levels: HashGridLevels, row_width: int,
+                    dtype=jnp.float32, init_scale: float = 1e-4) -> jnp.ndarray:
+    """[E, W] table, U(-1e-4, 1e-4) like tcnn's HashGrid default.
 
-    Entry e's features occupy the contiguous slice [e*F, (e+1)*F) of row c.
+    Row e packs the features of ALL logical tables at entry e
+    (column h * F_l + f = logical table h, feature f).
     """
-    return jax.random.uniform(
-        rng, (n_tables, levels.total_entries * features_per_entry), dtype,
-        -init_scale, init_scale)
+    return jax.random.uniform(rng, (levels.total_entries, row_width), dtype,
+                              -init_scale, init_scale)
 
 
 def hash_grid_indices(x: jnp.ndarray, levels: HashGridLevels,
@@ -137,114 +142,85 @@ def hash_grid_indices(x: jnp.ndarray, levels: HashGridLevels,
     return entry_idx, weights
 
 
-@lru_cache(maxsize=8)
-def _corner_reduce_matrix(n_levels: int, features_per_entry: int,
-                          features_per_logical: int) -> np.ndarray:
-    """Constant 0/1 matrix S [L*8*F, L*F_l]: S[j, l*F_l + f] = 1 iff flat
-    element j = ((l*8 + corner)*P + p)*F_l + f for some (corner, p).
+@lru_cache(maxsize=16)
+def _corner_reduce_matrix(n_levels: int, row_width: int,
+                          out_per_level: int) -> np.ndarray:
+    """Constant 0/1 matrix S [L*8*W, L*out]: S[j, l*out + o] = 1 iff flat
+    element j = (l*8 + corner)*W + k for some corner, with o = k % out.
 
-    ``weighted @ S`` sums gathered elements over corners and packed logical
-    tables — the whole trilerp + packing reduction as one MXU matmul.
+    For the plain encode out == W (identity over the row); for the blended
+    encode out == F_l and column k = h*F_l + f maps to output f. ``weighted @
+    S`` sums gathered elements over corners (and, blended, logical tables) —
+    the whole trilerp + blend reduction as one MXU matmul.
     """
-    L, F, Fl = n_levels, features_per_entry, features_per_logical
-    P = F // Fl
-    S = np.zeros((L * 8 * F, L * Fl), np.float32)
+    L, W, out = n_levels, row_width, out_per_level
+    S = np.zeros((L * 8 * W, L * out), np.float32)
     for l in range(L):
         for corner in range(8):
-            for p in range(P):
-                for f in range(Fl):
-                    j = ((l * 8 + corner) * F) + p * Fl + f
-                    S[j, l * Fl + f] = 1.0
+            for k in range(W):
+                j = (l * 8 + corner) * W + k
+                S[j, l * out + (k % out)] = 1.0
     return S
 
 
-def _expand_to_elements(entry_idx: jnp.ndarray, F: int) -> jnp.ndarray:
-    """[N, L*8] entry indices -> [N, L*8*F] flat element indices
-    (each column repeated F times with feature offsets, still 2-D)."""
-    base = jnp.repeat(entry_idx * F, F, axis=1)
-    offs = jnp.tile(jnp.arange(F, dtype=entry_idx.dtype), entry_idx.shape[1])
-    return base + offs[None, :]
+def _gather_rows(table: jnp.ndarray, entry_idx: jnp.ndarray) -> jnp.ndarray:
+    """[E, W] x [N, K] -> [N, K*W] flat gathered rows (ONE row gather)."""
+    n, k = entry_idx.shape
+    rows = jnp.take(table, entry_idx.reshape(-1), axis=0)  # [N*K, W]
+    return rows.reshape(n, k * table.shape[1])
 
 
 def hash_encode(table: jnp.ndarray, x: jnp.ndarray, levels: HashGridLevels,
-                features_per_entry: int = 2,
                 smoothstep: bool = False) -> jnp.ndarray:
-    """Plain encode: table [C, E*F], x [N, 3] -> [N, C * L * F].
+    """Plain encode: table [E, W], x [N, 3] -> [N, L * W].
 
-    Output layout per table is level-major [L, F] flattened (tcnn layout).
+    Output layout is level-major [L, W] flattened; for a single-grid field
+    (W = features_per_level) this is exactly the tcnn layout.
     """
-    F = features_per_entry
+    W = table.shape[1]
     entry_idx, weights = hash_grid_indices(x, levels, smoothstep)
-    S = jnp.asarray(_corner_reduce_matrix(levels.n_levels, F, F))
+    S = jnp.asarray(_corner_reduce_matrix(levels.n_levels, W, W))
 
-    # Rematerialized per-table body: the [N, L*8*F] gathered features (~1 GB at
-    # full batch) are recomputed in the backward pass instead of being saved as
-    # autodiff residuals — only the [N, L*8] indices/weights persist.
     @jax.checkpoint
-    def one_table(table_c, entry_idx, weights):
-        elem = _expand_to_elements(entry_idx, F)
-        w_rep = jnp.repeat(weights, F, axis=1)
-        g = jnp.take(table_c, elem, axis=0).astype(jnp.float32)
-        return jnp.dot(g * w_rep, S, preferred_element_type=jnp.float32)
+    def body(table, entry_idx, weights):
+        rows = _gather_rows(table, entry_idx).astype(jnp.float32)
+        w_rep = jnp.repeat(weights, W, axis=1)
+        return jnp.dot(rows * w_rep, S, preferred_element_type=jnp.float32)
 
-    outs = [one_table(table[c], entry_idx, weights)
-            for c in range(table.shape[0])]
-    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+    return body(table, entry_idx, weights)
 
 
 def hash_encode_blended(table: jnp.ndarray, x: jnp.ndarray, code: jnp.ndarray,
                         levels: HashGridLevels, features_per_logical: int = 2,
-                        features_per_entry: int = 8,
-                        smoothstep: bool = False,
-                        vmap_tables: bool = False) -> jnp.ndarray:
+                        smoothstep: bool = False) -> jnp.ndarray:
     """Ensemble encode + per-sample blend: -> [N, L * features_per_logical].
 
-    ``table`` is [C, E*F_phys] (flat); each entry packs P = F_phys/F_l logical
-    tables side by side; ``code`` is [N, H] (H = C*P) of already-windowed blend
-    weights; logical table h = c*P + p, matching the reference's rearrange +
-    einsum (hash_ensemble.py:112, 156):
+    ``table`` is [E, W] with W = H * F_l (H logical tables packed per row);
+    ``code`` is [N, H] of already-windowed blend weights. Matches the
+    reference's rearrange + einsum (hash_ensemble.py:112, 156):
 
-        out[n, l*Fl+f] = sum_{c,corner,p} w[n,l,corner] * code[n, c*P+p]
-                         * table[c, idx[n,l,corner]*F + p*Fl + f]
+        out[n, l*Fl+f] = sum_{corner,h} w[n,l,corner] * code[n,h]
+                         * table[idx[n,l,corner], h*Fl + f]
     """
-    F, Fl = features_per_entry, features_per_logical
-    P = F // Fl
-    C = table.shape[0]
+    W = table.shape[1]
+    Fl = features_per_logical
     L = levels.n_levels
     entry_idx, weights = hash_grid_indices(x, levels, smoothstep)
-    S = jnp.asarray(_corner_reduce_matrix(L, F, Fl))
+    S = jnp.asarray(_corner_reduce_matrix(L, W, Fl))
     code = code.astype(jnp.float32)
 
-    # Rematerialized per-table body (see hash_encode): keeps only [N, L*8]
-    # residuals, recomputing the ~1 GB gathered/expanded tensors in backward.
     @jax.checkpoint
-    def one_table(table_c, code_c, entry_idx, weights):
-        elem = _expand_to_elements(entry_idx, F)
-        w_rep = jnp.repeat(weights, F, axis=1)
-        # this table's blend codes expanded to the flat element axis:
-        # column j = (l, corner, p, f) -> code[n, c*P + p]
-        code_rep = jnp.tile(jnp.repeat(code_c, Fl, axis=1), (1, L * 8))
-        g = jnp.take(table_c, elem, axis=0).astype(jnp.float32)
-        return jnp.dot(g * w_rep * code_rep, S,
+    def body(table, code, entry_idx, weights):
+        rows = _gather_rows(table, entry_idx).astype(jnp.float32)  # [N, L8*W]
+        w_rep = jnp.repeat(weights, W, axis=1)
+        # code over the row layout (h-major, F_l features each), tiled L*8x
+        code_row = jnp.repeat(code, Fl, axis=1)  # [N, W]
+        code_rep = jnp.tile(code_row, (1, L * 8))
+        return jnp.dot(rows * w_rep * code_rep, S,
                        preferred_element_type=jnp.float32)
 
-    if vmap_tables:
-        # Tensor-parallel form: keep the table axis as a mapped dim so GSPMD
-        # can leave each table's gather on its own shard when ``table`` is
-        # sharded [C/devices, ...]; the final sum over tables lowers to an
-        # all-reduce over ICI (SURVEY.md section 2c's TP design).
-        code_per_c = code.reshape(x.shape[0], C, P).transpose(1, 0, 2)
-        outs = jax.vmap(one_table, in_axes=(0, 0, None, None))(
-            table, code_per_c, entry_idx, weights)
-        return jnp.sum(outs, axis=0)
-
-    out = jnp.zeros((x.shape[0], L * Fl), jnp.float32)
-    for c in range(C):
-        out = out + one_table(table[c], code[:, c * P:(c + 1) * P],
-                              entry_idx, weights)
-    return out
+    return body(table, code, entry_idx, weights)
 
 
-def hash_table_param_count(levels: HashGridLevels, n_tables: int,
-                           features_per_entry: int) -> int:
-    return levels.total_entries * n_tables * features_per_entry
+def hash_table_param_count(levels: HashGridLevels, row_width: int) -> int:
+    return levels.total_entries * row_width

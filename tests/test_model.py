@@ -74,8 +74,8 @@ def model_and_params():
 
 def test_init_param_structure(model_and_params):
     model, params = model_and_params
-    # ensemble: 4 tables x 2 feats -> one physical table of 8 feats (flat)
-    assert params["field"]["table"].shape == (1, model.levels.total_entries * 8)
+    # ensemble: 4 logical tables x 2 feats -> shared rows of width 8
+    assert params["field"]["table"].shape == (model.levels.total_entries, 8)
     assert params["time_embedding"].shape == (3, 4)
     assert params["time_embedding_deformation"].shape == (3, 8)
     assert "deformation" in params
@@ -162,7 +162,7 @@ def test_static_model_no_time_components():
     params = model.init_params(jax.random.PRNGKey(0))
     assert "time_embedding" not in params
     assert "deformation" not in params
-    assert params["field"]["table"].shape == (1, model.levels.total_entries * 2)
+    assert params["field"]["table"].shape == (model.levels.total_entries, 2)
     rays = make_rays(4, np.random.default_rng(2))
     out = model.render_rays(params, rays, None, {}, train=False)
     assert out["rgb"].shape == (4, 3)

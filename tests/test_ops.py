@@ -101,15 +101,14 @@ def test_mlp_shapes_and_skip():
 # Hash encoding
 # ---------------------------------------------------------------------------
 
-def _naive_hash_encode(table, x, levels, F):
+def _naive_hash_encode(table, x, levels):
     """Straightforward per-level, per-sample trilerp reference (numpy).
-    ``table`` is the flat [C, E*F] layout; unpacked to [C, E, F] here."""
+    ``table`` is the shared [E, W] row layout."""
     table = np.asarray(table)
-    C = table.shape[0]
-    table = table.reshape(C, -1, F)
+    W = table.shape[1]
     x = np.asarray(x)
     N = x.shape[0]
-    out = np.zeros((N, C, levels.n_levels, F), np.float32)
+    out = np.zeros((N, levels.n_levels, W), np.float32)
     for l in range(levels.n_levels):
         scale = levels.scales[l]
         res = levels.resolutions[l]
@@ -127,8 +126,8 @@ def _naive_hash_encode(table, x, levels, F):
             else:
                 idx = cc[:, 0] + res * (cc[:, 1] + res * cc[:, 2])
             weight = np.prod(np.where(off == 1, w, 1 - w), axis=-1)
-            out[:, :, l] += weight[:, None, None] * table[:, levels.offsets[l] + idx].transpose(1, 0, 2)
-    return out  # [N, C, L, F]
+            out[:, l] += weight[:, None] * table[levels.offsets[l] + idx]
+    return out  # [N, L, W]
 
 
 @pytest.fixture(scope="module")
@@ -153,52 +152,50 @@ def test_hash_levels_structure(small_levels):
 
 def test_hash_encode_matches_naive(small_levels):
     rng = jax.random.PRNGKey(1)
-    table = init_hash_table(rng, small_levels, n_tables=2, features_per_entry=4)
+    table = init_hash_table(rng, small_levels, row_width=4)
     x = jax.random.uniform(jax.random.PRNGKey(2), (17, 3))
-    out = np.asarray(hash_encode(table, x, small_levels, features_per_entry=4))
-    ref = _naive_hash_encode(table, x, small_levels, 4).reshape(17, -1)
-    assert out.shape == (17, 2 * 6 * 4)
+    out = np.asarray(hash_encode(table, x, small_levels))
+    ref = _naive_hash_encode(table, x, small_levels).reshape(17, -1)
+    assert out.shape == (17, 6 * 4)
     assert np.allclose(out, ref, atol=1e-5)
 
 
 def test_hash_encode_blended_matches_einsum(small_levels):
-    # C=2 physical tables, F_phys=4, F_logical=2 -> P=2, H=4 logical tables
+    # H=4 logical tables x F_l=2 -> row width 8
     rng = jax.random.PRNGKey(3)
-    table = init_hash_table(rng, small_levels, n_tables=2, features_per_entry=4)
+    table = init_hash_table(rng, small_levels, row_width=8)
     N = 11
     x = jax.random.uniform(jax.random.PRNGKey(4), (N, 3))
     code = jax.random.normal(jax.random.PRNGKey(5), (N, 4))
 
     out = np.asarray(hash_encode_blended(table, x, code, small_levels,
-                                         features_per_logical=2,
-                                         features_per_entry=4))
+                                         features_per_logical=2))
     assert out.shape == (N, 6 * 2)
 
-    # reference path: full embeddings then the reference's rearrange + einsum
-    # (hash_ensemble.py:112,156): [N, C, L*F_phys] -> [N, L*Fl, C*P] -> blend
-    emb = _naive_hash_encode(table, x, small_levels, 4)  # [N, C, L, F_phys]
-    L, Fl, P, C = 6, 2, 2, 2
-    emb = emb.reshape(N, C, L, P, Fl)
-    emb = np.einsum("nclpf->nlfcp", emb).reshape(N, L * Fl, C * P)
+    # reference path: full per-table embeddings then the reference's blend
+    # einsum (hash_ensemble.py:112,156): emb [N, L*Fl, H] x code [N, H]
+    emb = _naive_hash_encode(table, x, small_levels)  # [N, L, W=H*Fl]
+    L, Fl, H = 6, 2, 4
+    emb = emb.reshape(N, L, H, Fl)
+    emb = np.einsum("nlhf->nlfh", emb).reshape(N, L * Fl, H)
     expected = np.einsum("ndh,nh->nd", emb, np.asarray(code))
     assert np.allclose(out, expected, atol=1e-4)
 
 
 def test_hash_encode_gradients(small_levels):
     rng = jax.random.PRNGKey(6)
-    table = init_hash_table(rng, small_levels, n_tables=1, features_per_entry=2)
+    table = init_hash_table(rng, small_levels, row_width=2)
     x = jax.random.uniform(jax.random.PRNGKey(7), (5, 3), minval=0.1, maxval=0.9)
 
     def loss_t(t):
-        return jnp.sum(hash_encode(t, x, small_levels, features_per_entry=2) ** 2)
+        return jnp.sum(hash_encode(t, x, small_levels) ** 2)
 
     g_table = jax.grad(loss_t)(table)
     assert np.isfinite(np.asarray(g_table)).all()
     assert np.abs(np.asarray(g_table)).sum() > 0
 
     def loss_x(xx):
-        return jnp.sum(hash_encode(table, xx, small_levels,
-                                   features_per_entry=2) ** 2)
+        return jnp.sum(hash_encode(table, xx, small_levels) ** 2)
 
     g_x = jax.grad(loss_x)(x)
     assert np.isfinite(np.asarray(g_x)).all()

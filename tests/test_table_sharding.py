@@ -10,26 +10,31 @@ from tests.synthetic_data import make_synthetic_dataset
 from tests.test_trainer import tiny_train_config
 
 
-def test_vmap_tables_matches_loop():
-    """The vmapped (TP-form) blended encode == the unrolled-loop form."""
+def test_feature_sharded_encode_matches_replicated():
+    """Blended encode with the table feature axis sharded over the mesh ==
+    replicated (GSPMD turns the blend contraction into an all-reduce)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     from nersemble_tpu.ops.hash_encoding import (
         HashGridLevels,
         hash_encode_blended,
         init_hash_table,
     )
+    from nersemble_tpu.parallel.mesh import make_mesh
 
     levels = HashGridLevels.create(n_levels=4, log2_hashmap_size=9,
                                    base_resolution=4, per_level_scale=1.6)
-    table = init_hash_table(jax.random.PRNGKey(0), levels, n_tables=8,
-                            features_per_entry=8)
+    table = init_hash_table(jax.random.PRNGKey(0), levels, row_width=64)
     x = jax.random.uniform(jax.random.PRNGKey(1), (33, 3))
     code = jax.random.normal(jax.random.PRNGKey(2), (33, 32))
-    out_loop = hash_encode_blended(table, x, code, levels,
-                                   features_per_logical=2, features_per_entry=8)
-    out_vmap = hash_encode_blended(table, x, code, levels,
-                                   features_per_logical=2, features_per_entry=8,
-                                   vmap_tables=True)
-    np.testing.assert_allclose(np.asarray(out_vmap), np.asarray(out_loop),
+    f = jax.jit(lambda t, x, c: hash_encode_blended(t, x, c, levels,
+                                                    features_per_logical=2))
+    out_rep = f(table, x, code)
+
+    mesh = make_mesh(8)
+    table_sharded = jax.device_put(table, NamedSharding(mesh, P(None, "data")))
+    out_shard = f(table_sharded, x, code)
+    np.testing.assert_allclose(np.asarray(out_shard), np.asarray(out_rep),
                                atol=1e-5, rtol=1e-5)
 
 
