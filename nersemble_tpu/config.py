@@ -201,7 +201,7 @@ class ModelConfig(ConfigBase):
     # this many samples at once (lax.map over rematerialized chunks), bounding
     # the ~[chunk, L*8*F] hash-gather buffers in HBM (reference analogue:
     # max_n_samples_per_batch, nersemble_nerfacto_field.py:259). -1 = no chunking.
-    max_n_samples_per_batch: int = 2 ** 15
+    max_n_samples_per_batch: int = 2 ** 13
 
     # Ray marching
     near_plane: float = 0.2

@@ -69,8 +69,12 @@ def direction_encoding_dim(config: ModelConfig) -> int:
 def init_field(rng, config: ModelConfig, levels: HashGridLevels):
     table_rng, base_rng, head_rng, app_rng = jax.random.split(rng, 4)
     row_width, f_l = table_row_width(config)
-    table = init_hash_table(table_rng, levels, row_width,
+    from nersemble_tpu.ops.hash_encoding import padded_row_width
+    table = init_hash_table(table_rng, levels, padded_row_width(row_width),
                             dtype=jnp.dtype(config.param_dtype))
+    if padded_row_width(row_width) != row_width:
+        # dead pad columns: zero params, zero grads, zero Adam updates
+        table = table.at[:, row_width:].set(0.0)
 
     base_in_dim = levels.n_levels * f_l
     mlp_base = init_mlp(base_rng, base_in_dim, 1 + config.geo_feat_dim,
@@ -122,7 +126,7 @@ def field_density(params, positions_world: jnp.ndarray,
                                       smoothstep=smoothstep)
     else:
         base_in = hash_encode(params["table"], norm, levels,
-                              smoothstep=smoothstep)
+                              smoothstep=smoothstep, real_width=f_l)
 
     if config.use_fused_mlp:
         h = fused_mlp_apply(params["mlp_base"], base_in,

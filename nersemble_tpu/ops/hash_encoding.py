@@ -142,22 +142,34 @@ def hash_grid_indices(x: jnp.ndarray, levels: HashGridLevels,
     return entry_idx, weights
 
 
+def padded_row_width(real_width: int) -> int:
+    """Physical row width for the [E, W] table.
+
+    Measured on v5e: XLA scatter-add (the gradient path) runs ~8x faster when
+    update rows are wider than 64 elements (a full 128-lane tile row), and
+    gathers speed up too. Rows with >= 64 real features are padded to 128;
+    the pad columns are dead (zero in the selection matrix, zero gradients).
+    """
+    return 128 if real_width >= 64 else real_width
+
+
 @lru_cache(maxsize=16)
-def _corner_reduce_matrix(n_levels: int, row_width: int,
+def _corner_reduce_matrix(n_levels: int, row_width: int, real_width: int,
                           out_per_level: int) -> np.ndarray:
     """Constant 0/1 matrix S [L*8*W, L*out]: S[j, l*out + o] = 1 iff flat
-    element j = (l*8 + corner)*W + k for some corner, with o = k % out.
+    element j = (l*8 + corner)*W + k for some corner with k < real_width,
+    o = k % out. Pad columns (k >= real_width) map to nothing.
 
-    For the plain encode out == W (identity over the row); for the blended
-    encode out == F_l and column k = h*F_l + f maps to output f. ``weighted @
-    S`` sums gathered elements over corners (and, blended, logical tables) —
-    the whole trilerp + blend reduction as one MXU matmul.
+    For the plain encode out == real_width (identity over the row); for the
+    blended encode out == F_l and column k = h*F_l + f maps to output f.
+    ``weighted @ S`` sums gathered elements over corners (and, blended,
+    logical tables) — the whole trilerp + blend reduction as one MXU matmul.
     """
     L, W, out = n_levels, row_width, out_per_level
     S = np.zeros((L * 8 * W, L * out), np.float32)
     for l in range(L):
         for corner in range(8):
-            for k in range(W):
+            for k in range(real_width):
                 j = (l * 8 + corner) * W + k
                 S[j, l * out + (k % out)] = 1.0
     return S
@@ -171,15 +183,18 @@ def _gather_rows(table: jnp.ndarray, entry_idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def hash_encode(table: jnp.ndarray, x: jnp.ndarray, levels: HashGridLevels,
-                smoothstep: bool = False) -> jnp.ndarray:
-    """Plain encode: table [E, W], x [N, 3] -> [N, L * W].
+                smoothstep: bool = False,
+                real_width: int = None) -> jnp.ndarray:
+    """Plain encode: table [E, W], x [N, 3] -> [N, L * real_width].
 
-    Output layout is level-major [L, W] flattened; for a single-grid field
-    (W = features_per_level) this is exactly the tcnn layout.
+    Output layout is level-major [L, real_width] flattened; for a single-grid
+    field (real_width = features_per_level) this is exactly the tcnn layout.
     """
     W = table.shape[1]
+    real_width = real_width or W
     entry_idx, weights = hash_grid_indices(x, levels, smoothstep)
-    S = jnp.asarray(_corner_reduce_matrix(levels.n_levels, W, W))
+    S = jnp.asarray(_corner_reduce_matrix(levels.n_levels, W, real_width,
+                                          real_width))
 
     @jax.checkpoint
     def body(table, entry_idx, weights):
@@ -205,16 +220,20 @@ def hash_encode_blended(table: jnp.ndarray, x: jnp.ndarray, code: jnp.ndarray,
     W = table.shape[1]
     Fl = features_per_logical
     L = levels.n_levels
+    real_width = code.shape[1] * Fl
     entry_idx, weights = hash_grid_indices(x, levels, smoothstep)
-    S = jnp.asarray(_corner_reduce_matrix(L, W, Fl))
+    S = jnp.asarray(_corner_reduce_matrix(L, W, real_width, Fl))
     code = code.astype(jnp.float32)
 
     @jax.checkpoint
     def body(table, code, entry_idx, weights):
         rows = _gather_rows(table, entry_idx).astype(jnp.float32)  # [N, L8*W]
         w_rep = jnp.repeat(weights, W, axis=1)
-        # code over the row layout (h-major, F_l features each), tiled L*8x
-        code_row = jnp.repeat(code, Fl, axis=1)  # [N, W]
+        # code over the row layout (h-major, F_l features each, zero in the
+        # pad columns so they contribute nothing anywhere), tiled L*8x
+        code_row = jnp.repeat(code, Fl, axis=1)  # [N, real_width]
+        if W > real_width:
+            code_row = jnp.pad(code_row, ((0, 0), (0, W - real_width)))
         code_rep = jnp.tile(code_row, (1, L * 8))
         return jnp.dot(rows * w_rep * code_rep, S,
                        preferred_element_type=jnp.float32)
