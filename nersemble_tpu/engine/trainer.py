@@ -107,6 +107,13 @@ class NeRSembleTrainer:
         self.params = jax.device_put(self.params, self.param_shardings)
         self.optimizer = make_optimizer()
         self.opt_state = self.optimizer.init(self.params)
+        # Adam moments follow the param shardings; count is replicated.
+        # (optax.init creates scalars on the default device, which would
+        # conflict with the mesh-committed params under jit.)
+        self.opt_shardings = type(self.opt_state)(
+            count=mesh_lib.replicated(self.mesh),
+            mu=self.param_shardings, nu=self.param_shardings)
+        self.opt_state = jax.device_put(self.opt_state, self.opt_shardings)
         self.grid_occs = self.model.init_grid_occs()
         self.start_step = 0
         self.key_to_group = group_of_param(self.model.param_groups(self.params))
@@ -465,8 +472,6 @@ class NeRSembleTrainer:
         step, params, opt_state, grid_occs = checkpoints.load_checkpoint(
             path, self.params, self.opt_state, self.grid_occs)
         self.params = jax.device_put(params, self.param_shardings)
-        self.opt_state = jax.device_put(
-            opt_state, jax.tree_util.tree_map(lambda x: x.sharding,
-                                              self.opt_state))
+        self.opt_state = jax.device_put(opt_state, self.opt_shardings)
         self.grid_occs = jnp.asarray(grid_occs)
         self.start_step = step + 1

@@ -124,10 +124,14 @@ class NeRSembleModel:
 
     def _chunked_samples(self, body, inputs: tuple, n: int):
         """Run ``body(*inputs)`` over the leading sample axis in chunks of
-        ``max_n_samples_per_batch`` via lax.map, with each chunk
-        rematerialized (backward recomputes the hash gathers). Bounds the
-        [chunk, L*8*F] gather buffers in HBM — the TPU analogue of the
-        reference's max_n_samples_per_batch chunker (util/chunker.py:7-28)."""
+        ``max_n_samples_per_batch`` via lax.map. Bounds the [chunk, L*8*W]
+        gather buffers in HBM — the TPU analogue of the reference's
+        max_n_samples_per_batch chunker (util/chunker.py:7-28).
+
+        No chunk-level remat: the hash encode's custom VJP keeps only small
+        blend residuals (no re-gather in backward), and the fused MLPs
+        rematerialize internally — wrapping the chunk in jax.checkpoint would
+        force the expensive gather to run again in the backward pass."""
         chunk = self.config.max_n_samples_per_batch
         if chunk == -1 or n <= chunk:
             return body(*inputs)
@@ -140,7 +144,7 @@ class NeRSembleModel:
             return a.reshape(k, chunk, *a.shape[1:])
 
         stacked = tuple(prep(a) for a in inputs)
-        out = jax.lax.map(jax.checkpoint(lambda args: body(*args)), stacked)
+        out = jax.lax.map(lambda args: body(*args), stacked)
         return jax.tree_util.tree_map(
             lambda o: o.reshape(k * chunk, *o.shape[2:])[:n], out)
 

@@ -30,6 +30,7 @@ TPU performance design (measured on v5e):
    matmul's contraction into an all-reduce (SURVEY.md section 2c).
 """
 
+import functools
 from dataclasses import dataclass
 from functools import lru_cache
 from typing import Tuple
@@ -205,40 +206,167 @@ def hash_encode(table: jnp.ndarray, x: jnp.ndarray, levels: HashGridLevels,
     return body(table, entry_idx, weights)
 
 
+def _expand_code(code, Fl, W, L8):
+    """[N, H] blend code -> [N, L8*W] multiplier over the flat row layout
+    (zero in pad columns)."""
+    real_width = code.shape[1] * Fl
+    code_row = jnp.repeat(code, Fl, axis=1)  # [N, real_width]
+    if W > real_width:
+        code_row = jnp.pad(code_row, ((0, 0), (0, W - real_width)))
+    return jnp.tile(code_row, (1, L8))
+
+
+def _iota2(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _sel(cond):
+    return cond.astype(jnp.float32)
+
+
+def _blend_matrices(L, W, Fl, H):
+    """Device-built 0/1 selection matrices for the blended encode VJP
+    (constructed from iota comparisons so no multi-MB literals are shipped to
+    the remote compiler). Row layout: j = (l*8 + corner)*W + h*Fl + f, with
+    pad columns h*Fl + f >= H*Fl mapping to nothing."""
+    L8, K, Wr = L * 8, L * 8 * W, H * Fl
+
+    j_k = _iota2((K, L8 * Fl), 0)
+    m_k = _iota2((K, L8 * Fl), 1)
+    # S_G [K, L8*Fl]: sum over h -> per-corner, per-feature
+    s_g = _sel((j_k // W == m_k // Fl) & (j_k % W < Wr)
+               & ((j_k % W) % Fl == m_k % Fl))
+
+    j_o = _iota2((L8 * Fl, L * Fl), 0)
+    m_o = _iota2((L8 * Fl, L * Fl), 1)
+    # S_O [L8*Fl, L*Fl]: sum over corners
+    s_o = _sel((j_o // (8 * Fl) == m_o // Fl) & (j_o % Fl == m_o % Fl))
+    return s_g, s_o
+
+
 def hash_encode_blended(table: jnp.ndarray, x: jnp.ndarray, code: jnp.ndarray,
                         levels: HashGridLevels, features_per_logical: int = 2,
                         smoothstep: bool = False) -> jnp.ndarray:
     """Ensemble encode + per-sample blend: -> [N, L * features_per_logical].
 
-    ``table`` is [E, W] with W = H * F_l (H logical tables packed per row);
-    ``code`` is [N, H] of already-windowed blend weights. Matches the
-    reference's rearrange + einsum (hash_ensemble.py:112, 156):
+    ``table`` is [E, W] with W = H * F_l (H logical tables packed per row,
+    optionally padded); ``code`` is [N, H] of already-windowed blend weights.
+    Matches the reference's rearrange + einsum (hash_ensemble.py:112, 156):
 
         out[n, l*Fl+f] = sum_{corner,h} w[n,l,corner] * code[n,h]
                          * table[idx[n,l,corner], h*Fl + f]
+
+    Uses a custom VJP (see _blended_core) so the backward pass needs NO
+    re-gather: instead of the [N, L*8*W] row tensor, only two small blend
+    residuals are saved —
+        G[n, lc, f] = sum_h code*rows   (per-corner code-blend) and
+        B[n, l, w]  = sum_c w*rows      (per-level weight-blend, bf16) —
+    from which every gradient follows analytically:
+        d rows[lc, hf] = w_lc * code_h * gbar[l, f]      (the scatter values)
+        d w_lc         = sum_f gbar[l, f] * G[lc, f]     (-> positions)
+        d code_h       = sum_{l,f} gbar[l, f] * B[l, hf]
     """
+    entry_idx, weights = hash_grid_indices(x, levels, smoothstep)
+    return _blended_core(table, code.astype(jnp.float32), entry_idx, weights,
+                         levels.n_levels, features_per_logical)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _blended_core(table, code, entry_idx, weights, L, Fl):
+    out, _ = _blended_fwd_impl(table, code, entry_idx, weights, L, Fl)
+    return out
+
+
+def _blended_fwd_impl(table, code, entry_idx, weights, L, Fl):
+    W = table.shape[1]
+    N = code.shape[0]
+    L8 = L * 8
+    s_g, s_o = _blend_matrices(L, W, Fl, code.shape[1])
+
+    rows = _gather_rows(table, entry_idx).astype(jnp.float32)  # [N, L8*W]
+    code_rep = _expand_code(code, Fl, W, L8)
+    w_rep = jnp.repeat(weights, W, axis=1)
+
+    G = jnp.dot(rows * code_rep, s_g, preferred_element_type=jnp.float32)
+    # B[n, l*Wr + w] = sum_corner weights * rows: reshape-sum (minor pair
+    # (8, W>=128) -> no tile padding); pad columns dropped, stored bf16
+    Wr = code.shape[1] * Fl
+    B = (rows * w_rep).reshape(N, L, 8, W).sum(axis=2)[:, :, :Wr]
+    B = B.reshape(N, L * Wr)
+    w_fl = jnp.repeat(weights, Fl, axis=1)  # [N, L8*Fl]
+    out = jnp.dot(G * w_fl, s_o, preferred_element_type=jnp.float32)
+    return out, (G, B.astype(jnp.bfloat16))
+
+
+def _blended_vjp_fwd(table, code, entry_idx, weights, L, Fl):
+    out, (G, B) = _blended_fwd_impl(table, code, entry_idx, weights, L, Fl)
+    return out, (G, B, code, entry_idx, weights, table.shape)
+
+
+def _blended_vjp_bwd(L, Fl, residuals, gbar):
+    G, B, code, entry_idx, weights, table_shape = residuals
+    E, W = table_shape
+    N = code.shape[0]
+    H = code.shape[1]
+    L8 = L * 8
+    gbar = gbar.astype(jnp.float32)  # [N, L*Fl]
+
+    # expand gbar over corners: [N, L8*Fl]
+    j = _iota2((L * Fl, L8 * Fl), 0)
+    m = _iota2((L * Fl, L8 * Fl), 1)
+    t_cf = _sel((j // Fl == m // (8 * Fl)) & (j % Fl == m % Fl))
+    g_corner = jnp.dot(gbar, t_cf, preferred_element_type=jnp.float32)
+
+    # d weights: sum over f of G * g_corner -> [N, L8]
+    j = _iota2((L8 * Fl, L8), 0)
+    m = _iota2((L8 * Fl, L8), 1)
+    s_w = _sel(j // Fl == m)
+    d_weights = jnp.dot(G * g_corner, s_w, preferred_element_type=jnp.float32)
+
+    # d code: sum over (l, f) of B * gbar-expanded -> [N, H]
+    # (B layout is pad-free: [N, L*Wr] with Wr = H*Fl)
+    Wr = H * Fl
+    j = _iota2((L * Fl, L * Wr), 0)
+    m = _iota2((L * Fl, L * Wr), 1)
+    t_b = _sel((j // Fl == m // Wr) & ((m % Wr) % Fl == j % Fl))
+    g_b = jnp.dot(gbar, t_b, preferred_element_type=jnp.float32)  # [N, L*Wr]
+    j = _iota2((L * Wr, H), 0)
+    m = _iota2((L * Wr, H), 1)
+    s_c = _sel((j % Wr) // Fl == m)
+    d_code = jnp.dot(B.astype(jnp.float32) * g_b, s_c,
+                     preferred_element_type=jnp.float32)
+
+    # d table: scatter the analytically-built gradient rows
+    j = _iota2((L * Fl, L8 * W), 0)
+    m = _iota2((L * Fl, L8 * W), 1)
+    t_r = _sel((j // Fl == m // (8 * W)) & ((m % W) % Fl == j % Fl)
+               & (m % W < H * Fl))
+    g_rows = jnp.dot(gbar, t_r, preferred_element_type=jnp.float32)  # [N, L8*W]
+    code_rep = _expand_code(code, Fl, W, L8)
+    w_rep = jnp.repeat(weights, W, axis=1)
+    d_rows = (g_rows * w_rep * code_rep).reshape(N * L8, W)
+    d_table = jnp.zeros((E, W), jnp.float32).at[entry_idx.reshape(-1)].add(d_rows)
+
+    return d_table, d_code, None, d_weights
+
+
+_blended_core.defvjp(_blended_vjp_fwd, _blended_vjp_bwd)
+
+
+def hash_encode_blended_reference(table, x, code, levels,
+                                  features_per_logical=2, smoothstep=False):
+    """Plain-autodiff formulation (testing oracle for the custom VJP)."""
     W = table.shape[1]
     Fl = features_per_logical
     L = levels.n_levels
     real_width = code.shape[1] * Fl
     entry_idx, weights = hash_grid_indices(x, levels, smoothstep)
     S = jnp.asarray(_corner_reduce_matrix(L, W, real_width, Fl))
-    code = code.astype(jnp.float32)
-
-    @jax.checkpoint
-    def body(table, code, entry_idx, weights):
-        rows = _gather_rows(table, entry_idx).astype(jnp.float32)  # [N, L8*W]
-        w_rep = jnp.repeat(weights, W, axis=1)
-        # code over the row layout (h-major, F_l features each, zero in the
-        # pad columns so they contribute nothing anywhere), tiled L*8x
-        code_row = jnp.repeat(code, Fl, axis=1)  # [N, real_width]
-        if W > real_width:
-            code_row = jnp.pad(code_row, ((0, 0), (0, W - real_width)))
-        code_rep = jnp.tile(code_row, (1, L * 8))
-        return jnp.dot(rows * w_rep * code_rep, S,
-                       preferred_element_type=jnp.float32)
-
-    return body(table, code, entry_idx, weights)
+    code_rep = _expand_code(code.astype(jnp.float32), Fl, W, L * 8)
+    rows = _gather_rows(table, entry_idx).astype(jnp.float32)
+    w_rep = jnp.repeat(weights, W, axis=1)
+    return jnp.dot(rows * w_rep * code_rep, S,
+                   preferred_element_type=jnp.float32)
 
 
 def hash_table_param_count(levels: HashGridLevels, row_width: int) -> int:

@@ -461,3 +461,43 @@ def test_occupancy_update_and_binaries():
     frustum[0] = True
     b2 = np.asarray(occupancy_binaries(occs, 1e-2, jnp.asarray(frustum)))
     assert not b2[1:].any()
+
+
+def test_blended_custom_vjp_matches_autodiff(small_levels):
+    """The custom-VJP blended encode == plain autodiff (values + all grads)."""
+    from nersemble_tpu.ops.hash_encoding import (
+        hash_encode_blended,
+        hash_encode_blended_reference,
+        init_hash_table,
+        padded_row_width,
+    )
+
+    H, Fl = 4, 2
+    W = padded_row_width(64)  # force the padded-row path (128 wide, 8 real)
+    table = init_hash_table(jax.random.PRNGKey(0), small_levels, row_width=W)
+    table = table.at[:, H * Fl:].set(0.0)
+    N = 23
+    x = jax.random.uniform(jax.random.PRNGKey(1), (N, 3), minval=0.05,
+                           maxval=0.95)
+    code = jax.random.normal(jax.random.PRNGKey(2), (N, H))
+    g_out = jax.random.normal(jax.random.PRNGKey(3), (N, 6 * Fl))
+
+    def run(fn, t, xx, c):
+        out = fn(t, xx, c, small_levels, features_per_logical=Fl)
+        return jnp.sum(out * g_out), out
+
+    (loss_c, out_c), grads_c = jax.value_and_grad(
+        lambda t, xx, c: run(hash_encode_blended, t, xx, c),
+        argnums=(0, 1, 2), has_aux=True)(table, x, code)
+    (loss_r, out_r), grads_r = jax.value_and_grad(
+        lambda t, xx, c: run(hash_encode_blended_reference, t, xx, c),
+        argnums=(0, 1, 2), has_aux=True)(table, x, code)
+
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_r),
+                               atol=1e-5, rtol=1e-5)
+    assert float(loss_c) == pytest.approx(float(loss_r), rel=1e-5)
+    for name, gc, gr in zip(("table", "x", "code"), grads_c, grads_r):
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gr),
+                                   atol=2e-3, rtol=2e-3, err_msg=name)
+    # pad columns get zero gradient
+    assert np.abs(np.asarray(grads_c[0])[:, H * Fl:]).max() == 0.0
