@@ -153,9 +153,6 @@ class SamplingConfig(ConfigBase):
 
     max_samples_per_ray: int = 256
     max_candidates_per_ray: int = 1024
-    # Evaluate density at compacted candidates (stop-gradient) and drop samples
-    # with alpha < alpha_thre, mirroring nerfacc's sigma_fn filtering.
-    use_sigma_filtering: bool = False
 
 
 @dataclass

@@ -288,10 +288,20 @@ class NeRSembleTrainer:
         batch_iter = iter(self.batcher)
         n_rays = cfg.data.train_num_rays_per_batch
 
+        # optional jax profiler trace (aux-subsystem parity with the
+        # reference's nerfstudio profiler, SURVEY.md section 5): set
+        # NERSEMBLE_PROFILE_DIR to capture steps 10-14 of this run
+        import os
+        profile_dir = os.environ.get("NERSEMBLE_PROFILE_DIR")
+
         last = {}
         t_last_log = time.time()
         rays_since_log = 0
         for step in range(self.start_step, max_steps):
+            if profile_dir and step == self.start_step + 10:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir and step == self.start_step + 15:
+                jax.profiler.stop_trace()
             rng = jax.random.fold_in(base_rng, step)
             occ_rng, step_rng = jax.random.split(rng)
             self.maybe_update_occupancy(step, occ_rng)

@@ -64,6 +64,19 @@ class NeRSembleModel:
         if config.use_hash_ensemble:
             assert config.latent_dim_time == config.hash_ensemble.n_hash_encodings, \
                 "latent_dim_time must equal n_hash_encodings for the blend"
+        # candidate comb must span the scene box, or rays terminate mid-scene
+        diag = float(np.linalg.norm(scene_box[1] - scene_box[0]))
+        needed = int(np.ceil(diag / config.render_step_size))
+        if config.sampling.max_candidates_per_ray == -1:
+            # auto-size (rounded up to a lane multiple)
+            config.sampling.max_candidates_per_ray = (needed + 127) // 128 * 128
+        elif config.sampling.max_candidates_per_ray < needed:
+            print(f"[nersemble-tpu] WARNING: max_candidates_per_ray="
+                  f"{config.sampling.max_candidates_per_ray} covers only "
+                  f"{config.sampling.max_candidates_per_ray * config.render_step_size:.2f} "
+                  f"world units but the scene-box diagonal is {diag:.2f} — rays "
+                  f"will stop mid-scene. Use -1 to auto-size (= {needed}).")
+
         if config.cone_angle != 0.0:
             raise NotImplementedError(
                 "cone_angle > 0 (growing step sizes) is not implemented; all "
@@ -275,6 +288,21 @@ class NeRSembleModel:
             offsets_norm = None
 
         sigmas = density.reshape(R, S)
+
+        # alpha_thre sample pruning (reference: nerfacc sampling's sigma_fn
+        # filter, nersemble_volumetric_sampler.py:95-108 with alpha_thre=1e-2):
+        # samples whose opacity falls below the threshold are dropped entirely
+        # — they neither attenuate nor receive gradients, exactly like the
+        # reference's no-grad sampler excluding them from the packed set.
+        # This is what keeps the background clean: low-density haze stops
+        # being rendered (and stops being reinforced) once it thins out.
+        if cfg.alpha_thre > 0:
+            delta = samples.t_ends - samples.t_starts
+            alpha_raw = 1.0 - jnp.exp(-jax.lax.stop_gradient(sigmas) * delta)
+            keep = alpha_raw >= cfg.alpha_thre
+            samples = samples._replace(mask=samples.mask & keep)
+            sigmas = sigmas * keep
+
         weights, trans = render_weights(sigmas, samples.t_starts, samples.t_ends,
                                         samples.mask)
 
