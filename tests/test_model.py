@@ -202,3 +202,29 @@ def test_overfit_single_batch():
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_alpha_thre_pruning():
+    """Low-opacity samples are dropped from rendering and get no gradient
+    (reference: nerfacc sampling's alpha_thre filter)."""
+    config = tiny_model_config(use_hash_ensemble=False, use_deformation_field=False,
+                               n_timesteps=1, num_levels=4, log2_hashmap_size=8,
+                               base_resolution=4, max_res=16, alpha_thre=0.9)
+    model = NeRSembleModel(config)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rays = make_rays(4, np.random.default_rng(0))
+    # near-init densities are ~1 => alpha per 0.05-step ~ 0.05 << 0.9:
+    # everything is pruned, so rays render pure background
+    out = model.render_rays(params, rays, None, {}, train=False)
+    assert np.allclose(np.asarray(out["accumulation"]), 0.0, atol=1e-6)
+    assert np.allclose(np.asarray(out["rgb"]), 1.0, atol=1e-6)
+
+    # and the pruned samples contribute no gradient to the field
+    def loss_fn(p):
+        o = model.render_rays(p, rays, None, {}, train=True,
+                              rng=jax.random.PRNGKey(1))
+        return jnp.sum((o["rgb"] - 0.3) ** 2)
+
+    grads = jax.grad(loss_fn)(params)
+    table_grad = np.asarray(grads["field"]["table"])
+    assert np.abs(table_grad).max() == 0.0
