@@ -15,7 +15,7 @@ The cache stores at most ``max_cached_items`` decoded items, optionally
 uint8-compressed (~4x smaller, lossy) like the reference's ~200 GB RAM cache.
 """
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

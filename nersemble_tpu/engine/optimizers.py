@@ -12,7 +12,7 @@ recompile) multiplies each top-level subtree according to the model's param
 groups.
 """
 
-from typing import Callable, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ timings. TensorBoard can be layered on by tailing the JSONL.
 import json
 import time
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -10,8 +10,6 @@ Functional: params are a plain pytree; ``deformation_offsets`` is pure and
 differentiable, computed in bf16 for the MLP and f32 for the screw math.
 """
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

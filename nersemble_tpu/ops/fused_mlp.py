@@ -19,12 +19,10 @@ unsupported configurations; `fused_mlp_apply` is a drop-in for `apply_mlp`.
 """
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 from nersemble_tpu.ops.mlp import apply_mlp
 
 try:  # Pallas import is deferred so CPU-only test envs never touch Mosaic

@@ -16,7 +16,7 @@ on the hot path.
 """
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

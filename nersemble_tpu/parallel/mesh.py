@@ -11,7 +11,7 @@ train_nersemble.py:272-274 — has no kernels to port. This module IS the comms
 backend.)
 """
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np

@@ -9,7 +9,6 @@ reference's evaluation folder layout.
 """
 
 import argparse
-import re
 from collections import defaultdict
 from pathlib import Path
 from statistics import mean

@@ -39,11 +39,7 @@ def main(argv=None, data_location=None, original_image_size=None,
     config.load_dir = manager.get_checkpoint_folder()
     config.vis = "none"
 
-    from nersemble_tpu.data.cameras import (
-        CameraIntrinsics,
-        circle_around_axis,
-        world2cam_cv_to_cam2world_viewer,
-    )
+    from nersemble_tpu.data.cameras import circle_around_axis
     from nersemble_tpu.engine.trainer import NeRSembleTrainer
     from nersemble_tpu.utils.colormaps import apply_depth_colormap, apply_scene_flow_colormap
     from nersemble_tpu.utils.videoio import write_video

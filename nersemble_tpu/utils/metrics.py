@@ -9,8 +9,6 @@ environment; ``lpips`` returns None unless a weights file is provided (see
 utils/lpips.py for the loader).
 """
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
