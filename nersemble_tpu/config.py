@@ -153,6 +153,11 @@ class SamplingConfig(ConfigBase):
 
     max_samples_per_ray: int = 256
     max_candidates_per_ray: int = 1024
+    # global sample compaction: evaluate only ceil(R * S * fraction / 128)*128
+    # samples per batch, picked valid-first in slot-major order (the far tail
+    # is dropped uniformly per ray). 1.0 disables compaction. The per-batch
+    # overflow count is reported as the num_budget_dropped diagnostic.
+    global_budget_fraction: float = 1.0
 
 
 @dataclass
@@ -241,6 +246,9 @@ class ModelConfig(ConfigBase):
     # Numerics
     compute_dtype: str = "bfloat16"  # MLP/hash compute dtype; densities are f32
     param_dtype: str = "float32"
+    # dtype of the z-paired hash-table gather operand (built per step from the
+    # f32 canonical table; tcnn runs its hash grids in fp16 — same class)
+    table_dtype: str = "bfloat16"
     # Run MLP chains as fused Pallas kernels on TPU (jnp fallback elsewhere)
     use_fused_mlp: bool = True
     # Shard the hash-ensemble table axis over the mesh (tensor parallelism;

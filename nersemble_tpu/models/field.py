@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from nersemble_tpu.config import ModelConfig
 from nersemble_tpu.ops.hash_encoding import (
     HashGridLevels,
+    build_pair_table,
     hash_encode,
     hash_encode_blended,
     init_hash_table,
@@ -69,12 +70,8 @@ def direction_encoding_dim(config: ModelConfig) -> int:
 def init_field(rng, config: ModelConfig, levels: HashGridLevels):
     table_rng, base_rng, head_rng, app_rng = jax.random.split(rng, 4)
     row_width, f_l = table_row_width(config)
-    from nersemble_tpu.ops.hash_encoding import padded_row_width
-    table = init_hash_table(table_rng, levels, padded_row_width(row_width),
+    table = init_hash_table(table_rng, levels, row_width,
                             dtype=jnp.dtype(config.param_dtype))
-    if padded_row_width(row_width) != row_width:
-        # dead pad columns: zero params, zero grads, zero Adam updates
-        table = table.at[:, row_width:].set(0.0)
 
     base_in_dim = levels.n_levels * f_l
     mlp_base = init_mlp(base_rng, base_in_dim, 1 + config.geo_feat_dim,
@@ -97,6 +94,21 @@ def normalize_positions(positions, aabb_min, aabb_max):
     return (positions - aabb_min) / (aabb_max - aabb_min)
 
 
+def prepare_field(field_params, config: ModelConfig, levels: HashGridLevels):
+    """Per-step table preparation, hoisted OUT of the sample-chunk loop.
+
+    Builds the z-paired gather operand [E, 2W] (see
+    hash_encoding.build_pair_table) once per train/render step in the
+    table compute dtype (bf16 by default — tcnn runs its hash grids in fp16,
+    reference: environment.yml tiny-cuda-nn). Differentiable: gradients fold
+    back onto the canonical [E, W] f32 table.
+    """
+    prepared = dict(field_params)
+    prepared["table_pair"] = build_pair_table(
+        field_params["table"], levels, dtype=jnp.dtype(config.table_dtype))
+    return prepared
+
+
 def field_density(params, positions_world: jnp.ndarray,
                   time_codes: Optional[jnp.ndarray],
                   config: ModelConfig, levels: HashGridLevels,
@@ -105,9 +117,10 @@ def field_density(params, positions_world: jnp.ndarray,
                   compute_dtype=jnp.bfloat16):
     """[N, 3] world positions -> (density [N] f32, geo features [N, G]).
 
-    Positions outside the (0,1)^3 normalized cube are zeroed before encoding
-    and their density is zeroed after activation
-    (reference: nersemble_nerfacto_field.py:266-293).
+    ``params`` must be the output of :func:`prepare_field` (holds the
+    z-paired gather operand ``table_pair``). Positions outside the (0,1)^3
+    normalized cube are zeroed before encoding and their density is zeroed
+    after activation (reference: nersemble_nerfacto_field.py:266-293).
     """
     norm = normalize_positions(positions_world, aabb_min, aabb_max)
     selector = jnp.all((norm > 0.0) & (norm < 1.0), axis=-1)
@@ -121,12 +134,12 @@ def field_density(params, positions_world: jnp.ndarray,
         code = effective_blend_code(
             time_codes, window_hash, he.n_hash_encodings,
             he.disable_initial_hash_ensemble, he.use_soft_transition)
-        base_in = hash_encode_blended(params["table"], norm, code, levels,
+        base_in = hash_encode_blended(params["table_pair"], norm, code, levels,
                                       features_per_logical=f_l,
                                       smoothstep=smoothstep)
     else:
-        base_in = hash_encode(params["table"], norm, levels,
-                              smoothstep=smoothstep, real_width=f_l)
+        base_in = hash_encode(params["table_pair"], norm, levels,
+                              smoothstep=smoothstep)
 
     if config.use_fused_mlp:
         h = fused_mlp_apply(params["mlp_base"], base_in,

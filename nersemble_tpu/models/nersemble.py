@@ -31,6 +31,7 @@ from nersemble_tpu.models.field import (
     field_density,
     field_rgb,
     init_field,
+    prepare_field,
 )
 from nersemble_tpu.ops import losses as L
 from nersemble_tpu.ops.distortion import distortion_loss
@@ -42,7 +43,7 @@ from nersemble_tpu.ops.rendering import (
     render_rgb,
     render_weights,
 )
-from nersemble_tpu.ops.sampling import march_rays
+from nersemble_tpu.ops.sampling import compact_samples, march_rays, permute_rows
 
 _BACKGROUNDS = {"white": (1.0, 1.0, 1.0), "black": (0.0, 0.0, 0.0)}
 
@@ -167,11 +168,13 @@ class NeRSembleModel:
         """sigma at [N, 3] world positions / [N] integer timesteps
         (reference field_density_fn: nersemble_instant_ngp.py:235-266)."""
         cfg = self.config
+        # z-paired gather operand, built ONCE (outside the chunk loop)
+        fparams = prepare_field(params["field"], cfg, self.levels)
 
         def body(positions, timesteps):
             tc, tc_def = self._time_codes(params, timesteps)
             warped = self._warp_positions(params, positions, tc_def, sched)
-            density, _ = field_density(params["field"], warped, tc, cfg,
+            density, _ = field_density(fparams, warped, tc, cfg,
                                        self.levels, self.aabb_min, self.aabb_max,
                                        window_hash=sched.get("window_hash"),
                                        compute_dtype=self.compute_dtype)
@@ -248,16 +251,12 @@ class NeRSembleModel:
         timesteps = rays.get("timesteps")
         if timesteps is None:
             timesteps = jnp.zeros((R,), jnp.int32)
-
-        positions = samples.positions(origins, directions)  # [R, S, 3]
-        flat_pos = positions.reshape(R * S, 3)
-        flat_ts = jnp.broadcast_to(timesteps[:, None], (R, S)).reshape(R * S)
-        flat_dirs = jnp.broadcast_to(directions[:, None, :],
-                                     (R, S, 3)).reshape(R * S, 3)
         cam_idx = rays.get("camera_indices")
         if cam_idx is None:
             cam_idx = jnp.zeros((R,), jnp.int32)
-        flat_cam = jnp.broadcast_to(cam_idx[:, None], (R, S)).reshape(R * S)
+
+        # z-paired gather operand, built ONCE (outside the chunk loop)
+        fparams = prepare_field(params["field"], cfg, self.levels)
 
         def body(pos, ts, dirs, cam):
             tc, tc_def = self._time_codes(params, ts)
@@ -270,24 +269,68 @@ class NeRSembleModel:
                     compute_dtype=self.compute_dtype,
                     use_fused_mlp=cfg.use_fused_mlp)
                 pos = pos + offsets
-            density, geo = field_density(params["field"], pos, tc, cfg,
+            density, geo = field_density(fparams, pos, tc, cfg,
                                          self.levels, self.aabb_min,
                                          self.aabb_max,
                                          window_hash=sched.get("window_hash"),
                                          compute_dtype=self.compute_dtype)
-            rgb = field_rgb(params["field"], dirs, geo, cfg,
+            rgb = field_rgb(fparams, dirs, geo, cfg,
                             camera_indices=cam, train=train,
                             compute_dtype=self.compute_dtype)
             if offsets is None:
                 offsets = jnp.zeros_like(pos)
             return density, rgb, offsets
 
-        density, rgbs, offsets_norm = self._chunked_samples(
-            body, (flat_pos, flat_ts, flat_dirs, flat_cam), R * S)
+        frac = cfg.sampling.global_budget_fraction
+        budget = -(-int(R * S * frac) // 128) * 128 if 0 < frac < 1.0 else R * S
+        n_budget_dropped = jnp.int32(0)
+        if budget < R * S:
+            # global compaction: evaluate only `budget` samples, picked from
+            # the valid slots across the whole batch (see compact_samples)
+            sel, inv, order, kept = compact_samples(samples.mask, budget)
+            n_budget_dropped = jnp.sum(samples.mask) - jnp.sum(kept)
+            samples = samples._replace(mask=kept)
+            ray_id = sel % R
+            tmid_t = ((samples.t_starts + samples.t_ends) * 0.5).T.reshape(-1)
+            tmid = jnp.take(tmid_t, sel)
+            # ONE row gather for all per-ray inputs (int columns bitcast f32)
+            ray_pack = jnp.concatenate([
+                origins, directions,
+                jax.lax.bitcast_convert_type(timesteps, jnp.float32)[:, None],
+                jax.lax.bitcast_convert_type(cam_idx, jnp.float32)[:, None],
+            ], axis=1)
+            picked = jnp.take(ray_pack, ray_id, axis=0)  # [budget, 8]
+            pos_c = picked[:, 0:3] + picked[:, 3:6] * tmid[:, None]
+            ts_c = jax.lax.bitcast_convert_type(picked[:, 6], jnp.int32)
+            cam_c = jax.lax.bitcast_convert_type(picked[:, 7], jnp.int32)
+
+            density_c, rgbs_c, offs_c = self._chunked_samples(
+                body, (pos_c, ts_c, picked[:, 3:6], cam_c), budget)
+            # route results back to [R, S] slots with a permutation gather
+            # (backward is also a gather — see permute_rows)
+            out_pack = jnp.concatenate([
+                density_c[:, None], rgbs_c, offs_c,
+                jnp.zeros((budget, 1), density_c.dtype)], axis=1)  # pad to 8
+            padded = jnp.concatenate(
+                [out_pack, jnp.zeros((R * S - budget, 8), out_pack.dtype)])
+            back = permute_rows(padded, inv, order)  # [S*R, 8]
+            back = back.reshape(S, R, 8).transpose(1, 0, 2)
+            sigmas = back[..., 0] * samples.mask
+            rgbs = back[..., 1:4].reshape(R * S, 3)
+            offsets_norm = back[..., 4:7].reshape(R * S, 3)
+        else:
+            positions = samples.positions(origins, directions)  # [R, S, 3]
+            flat_pos = positions.reshape(R * S, 3)
+            flat_ts = jnp.broadcast_to(timesteps[:, None],
+                                       (R, S)).reshape(R * S)
+            flat_dirs = jnp.broadcast_to(directions[:, None, :],
+                                         (R, S, 3)).reshape(R * S, 3)
+            flat_cam = jnp.broadcast_to(cam_idx[:, None], (R, S)).reshape(R * S)
+            density, rgbs, offsets_norm = self._chunked_samples(
+                body, (flat_pos, flat_ts, flat_dirs, flat_cam), R * S)
+            sigmas = density.reshape(R, S)
         if not cfg.use_deformation_field:
             offsets_norm = None
-
-        sigmas = density.reshape(R, S)
 
         # alpha_thre sample pruning (reference: nerfacc sampling's sigma_fn
         # filter, nersemble_volumetric_sampler.py:95-108 with alpha_thre=1e-2):
@@ -314,6 +357,7 @@ class NeRSembleModel:
             "samples": samples,
             "num_samples_per_ray": info["n_samples_per_ray"],
             "num_dropped_per_ray": info["n_dropped_per_ray"],
+            "num_budget_dropped": n_budget_dropped,
         }
         if offsets_norm is not None:
             outputs["deformation"] = render_expected_value(

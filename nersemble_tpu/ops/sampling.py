@@ -41,6 +41,59 @@ class RaySamples(NamedTuple):
         return pos
 
 
+@jax.custom_vjp
+def permute_rows(x: jnp.ndarray, perm: jnp.ndarray,
+                 inv_perm: jnp.ndarray) -> jnp.ndarray:
+    """``x[perm]`` for a TRUE permutation, with a gather-only backward.
+
+    The transpose of a permutation gather is a permutation scatter — which
+    equals a gather by the inverse permutation. XLA does not know ``perm``
+    is bijective and would emit its slow scalar scatter (~5 M rows/s on v5e
+    for narrow rows); providing ``inv_perm`` keeps both directions on the
+    ~10x faster gather path. Caller must guarantee ``perm[inv_perm] == iota``.
+    """
+    return jnp.take(x, perm, axis=0)
+
+
+def _permute_rows_fwd(x, perm, inv_perm):
+    return jnp.take(x, perm, axis=0), (perm, inv_perm)
+
+
+def _permute_rows_bwd(res, g):
+    perm, inv_perm = res
+    return jnp.take(g, inv_perm, axis=0), None, None
+
+
+permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
+def compact_samples(mask: jnp.ndarray, budget: int):
+    """Global sample compaction: pick the ``budget`` valid (ray, slot) pairs
+    to evaluate, slot-major so the far tail is dropped uniformly per ray.
+
+    Given the [R, S] validity mask, returns
+      sel      [budget] — flat indices into the slot-major [S*R] order,
+      inv      [S*R]    — inverse permutation (position -> rank),
+      kept     [R, S]   — mask of slots that made the budget.
+
+    The TPU analogue of nerfacc's packed sampling (reference:
+    nersemble_volumetric_sampler.py:95-135): instead of a variable-length
+    packed list, a fixed ``budget`` of samples is evaluated, proportional to
+    the actual slot fill of the whole batch rather than the R*S worst case.
+    Slot-major ordering means overflow removes the deepest slots (lowest
+    transmittance) across all rays first — the same far-tail-drop semantics
+    as the per-ray slot cap.
+    """
+    R, S = mask.shape
+    mask_t = mask.T.reshape(-1)  # slot-major
+    # stable argsort on ~valid: valid entries first, (slot, ray) order kept
+    order = jnp.argsort(~mask_t, stable=True)
+    inv = jnp.argsort(order)
+    sel = order[:budget]
+    kept = mask_t & (inv < budget)
+    return sel, inv, order, kept.reshape(S, R).T
+
+
 def ray_aabb_intersect(origins: jnp.ndarray, directions: jnp.ndarray,
                        aabb_min: jnp.ndarray, aabb_max: jnp.ndarray):
     """Slab intersection: [R, 3] rays x AABB -> (t_near [R], t_far [R]).

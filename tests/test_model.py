@@ -228,3 +228,69 @@ def test_alpha_thre_pruning():
     grads = jax.grad(loss_fn)(params)
     table_grad = np.asarray(grads["field"]["table"])
     assert np.abs(table_grad).max() == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Global sample compaction
+# ---------------------------------------------------------------------------
+
+def test_compaction_matches_uncompacted(model_and_params):
+    """With a budget large enough to keep every valid sample, the compacted
+    render == the plain render (same weights, rgb, depth, losses)."""
+    model, params = model_and_params
+    rng = np.random.default_rng(5)
+    rays = make_rays(24, rng)
+    g = model.config.grid_resolution
+    occ = np.zeros((g, g, g), bool)
+    occ[6:10, 6:10, 6:10] = True  # sparse: most slots stay empty
+    binaries = jnp.asarray(occ)
+
+    out_plain = model.render_rays(params, rays, binaries, SCHED, rng=None,
+                                  train=False)
+
+    import copy
+    cfg2 = copy.deepcopy(model.config)
+    cfg2.sampling.global_budget_fraction = 0.5  # 32*0.5 -> budget 384 >= valid
+    model2 = NeRSembleModel(cfg2)
+    out_c = model2.render_rays(params, rays, binaries, SCHED, rng=None,
+                               train=False)
+
+    assert float(out_c["num_budget_dropped"]) == 0.0
+    for key in ("rgb", "depth", "accumulation"):
+        np.testing.assert_allclose(np.asarray(out_c[key]),
+                                   np.asarray(out_plain[key]),
+                                   atol=1e-5, rtol=1e-5, err_msg=key)
+    np.testing.assert_array_equal(np.asarray(out_c["samples"].mask),
+                                  np.asarray(out_plain["samples"].mask))
+
+
+def test_compaction_budget_drops_far_tail(model_and_params):
+    """A tight budget drops the deepest slots and reports the count; the
+    render stays finite and differentiable."""
+    model, params = model_and_params
+    rng = np.random.default_rng(6)
+    rays = make_rays(16, rng)
+    g = model.config.grid_resolution
+    binaries = jnp.ones((g, g, g), bool)  # dense: every slot fills
+
+    import copy
+    cfg2 = copy.deepcopy(model.config)
+    cfg2.sampling.global_budget_fraction = 0.25
+    model2 = NeRSembleModel(cfg2)
+
+    def loss_fn(p):
+        out = model2.render_rays(p, rays, binaries, SCHED,
+                                 rng=jax.random.PRNGKey(0), train=True)
+        return jnp.sum(out["rgb"] ** 2), out
+
+    (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert float(out["num_budget_dropped"]) > 0
+    # kept samples per ray never exceed what the budget allows, and the kept
+    # mask is a prefix (slot-major drop = far tail)
+    mask = np.asarray(out["samples"].mask)
+    budget = -(-int(mask.size * 0.25) // 128) * 128
+    assert mask.sum() == budget  # dense grid: budget fully used
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    assert float(sum(jnp.abs(g).sum() for g in leaves)) > 0

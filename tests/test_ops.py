@@ -8,6 +8,7 @@ import pytest
 from nersemble_tpu.ops.distortion import distortion_loss, distortion_loss_reference
 from nersemble_tpu.ops.hash_encoding import (
     HashGridLevels,
+    build_pair_table,
     hash_encode,
     hash_encode_blended,
     hash_grid_indices,
@@ -103,30 +104,45 @@ def test_mlp_shapes_and_skip():
 
 def _naive_hash_encode(table, x, levels):
     """Straightforward per-level, per-sample trilerp reference (numpy).
-    ``table`` is the shared [E, W] row layout."""
+
+    ``table`` is the CANONICAL [E, W] layout; mirrors the z-pair semantics of
+    ops/hash_encoding.py: 4 xy-corners at the floor z cell, z interpolation
+    between entry ``idx`` and its per-level successor ``idx + stride``
+    (cyclic within the level segment)."""
     table = np.asarray(table)
-    W = table.shape[1]
     x = np.asarray(x)
     N = x.shape[0]
+    W = table.shape[1]
     out = np.zeros((N, levels.n_levels, W), np.float32)
+    mask = np.uint32(2 ** levels.log2_hashmap_size - 1)
     for l in range(levels.n_levels):
         scale = levels.scales[l]
         res = levels.resolutions[l]
+        size = levels.sizes[l]
+        stride = levels.z_strides[l] % size
         pos = x * scale + 0.5
         g0 = np.floor(pos).astype(np.int64)
         w = pos - g0
-        for corner in range(8):
-            off = np.array([(corner >> b) & 1 for b in range(3)])
-            cc = np.clip(g0 + off, 0, res - 1)
-            if levels.hashed[l]:
-                idx = ((cc[:, 0].astype(np.uint32) * np.uint32(1))
-                       ^ (cc[:, 1].astype(np.uint32) * np.uint32(2654435761))
-                       ^ (cc[:, 2].astype(np.uint32) * np.uint32(805459861)))
-                idx = (idx & np.uint32(2 ** levels.log2_hashmap_size - 1)).astype(np.int64)
-            else:
-                idx = cc[:, 0] + res * (cc[:, 1] + res * cc[:, 2])
-            weight = np.prod(np.where(off == 1, w, 1 - w), axis=-1)
-            out[:, l] += weight[:, None] * table[levels.offsets[l] + idx]
+        cz = np.clip(g0[:, 2], 0, res - 1)
+        fz = w[:, 2]
+        for ci in (0, 1):
+            for cj in (0, 1):
+                cx = np.clip(g0[:, 0] + ci, 0, res - 1)
+                cy = np.clip(g0[:, 1] + cj, 0, res - 1)
+                if levels.hashed[l]:
+                    h = ((cx.astype(np.uint32) * np.uint32(1))
+                         ^ (cy.astype(np.uint32) * np.uint32(2654435761)))
+                    h = h + cz.astype(np.uint32) * np.uint32(levels.z_strides[l])
+                    idx = (h & mask).astype(np.int64)
+                else:
+                    idx = cx + res * cy + levels.z_strides[l] * cz
+                succ = (idx + stride) % size
+                wxy = ((w[:, 0] if ci else 1 - w[:, 0])
+                       * (w[:, 1] if cj else 1 - w[:, 1]))
+                lo = table[levels.offsets[l] + idx]
+                hi = table[levels.offsets[l] + succ]
+                out[:, l] += wxy[:, None] * ((1 - fz)[:, None] * lo
+                                             + fz[:, None] * hi)
     return out  # [N, L, W]
 
 
@@ -141,9 +157,13 @@ def test_hash_levels_structure(small_levels):
     lv = small_levels
     assert lv.n_levels == 6
     assert lv.resolutions[0] == 5
-    assert not lv.hashed[0] and lv.sizes[0] == 125
+    # dense level 0: z plane padded to a sublane multiple (ceil(25/8)*8 = 32)
+    assert not lv.hashed[0] and lv.sizes[0] == 5 * 32 and lv.z_strides[0] == 32
     assert any(lv.hashed)
     for l in range(6):
+        assert lv.sizes[l] % 8 == 0
+        assert lv.offsets[l] % 8 == 0
+        assert lv.z_strides[l] % 8 == 0 and lv.z_strides[l] > 0
         if lv.hashed[l]:
             assert lv.sizes[l] == 1024
     assert lv.total_entries == sum(lv.sizes)
@@ -153,22 +173,53 @@ def test_hash_levels_structure(small_levels):
 def test_hash_encode_matches_naive(small_levels):
     rng = jax.random.PRNGKey(1)
     table = init_hash_table(rng, small_levels, row_width=4)
+    pair = build_pair_table(table, small_levels, dtype=jnp.float32)
     x = jax.random.uniform(jax.random.PRNGKey(2), (17, 3))
-    out = np.asarray(hash_encode(table, x, small_levels))
+    out = np.asarray(hash_encode(pair, x, small_levels))
     ref = _naive_hash_encode(table, x, small_levels).reshape(17, -1)
     assert out.shape == (17, 6 * 4)
     assert np.allclose(out, ref, atol=1e-5)
+
+
+def test_pair_table_successor_is_z_neighbor(small_levels):
+    """Interior cells: the pair row's hi half == the canonical features of
+    the true z+1 vertex (the whole point of the additive-z hash layout)."""
+    lv = small_levels
+    rng = np.random.default_rng(0)
+    table = np.asarray(init_hash_table(jax.random.PRNGKey(0), lv, 4))
+    pair = np.asarray(build_pair_table(jnp.asarray(table), lv,
+                                       dtype=jnp.float32))
+    mask = np.uint32(2 ** lv.log2_hashmap_size - 1)
+    for l in range(lv.n_levels):
+        res = lv.resolutions[l]
+        cx, cy = rng.integers(0, res, 2)
+        cz = rng.integers(0, res - 1)  # interior: z+1 valid
+
+        def idx(z):
+            if lv.hashed[l]:
+                h = (np.uint32(cx) * np.uint32(1)) ^ \
+                    (np.uint32(cy) * np.uint32(2654435761))
+                return int((h + np.uint32(z) * np.uint32(lv.z_strides[l]))
+                           & mask)
+            return int(cx + res * cy + lv.z_strides[l] * z)
+
+        lo, hi = idx(cz), idx(cz + 1)
+        np.testing.assert_array_equal(pair[lv.offsets[l] + lo, :4],
+                                      table[lv.offsets[l] + lo])
+        np.testing.assert_array_equal(pair[lv.offsets[l] + lo, 4:],
+                                      table[lv.offsets[l] + hi])
 
 
 def test_hash_encode_blended_matches_einsum(small_levels):
     # H=4 logical tables x F_l=2 -> row width 8
     rng = jax.random.PRNGKey(3)
     table = init_hash_table(rng, small_levels, row_width=8)
+    pair = build_pair_table(table, small_levels, dtype=jnp.float32)
     N = 11
     x = jax.random.uniform(jax.random.PRNGKey(4), (N, 3))
     code = jax.random.normal(jax.random.PRNGKey(5), (N, 4))
 
-    out = np.asarray(hash_encode_blended(table, x, code, small_levels,
+    out = np.asarray(hash_encode_blended(pair, x, code, small_levels,
                                          features_per_logical=2))
     assert out.shape == (N, 6 * 2)
 
@@ -188,14 +239,17 @@ def test_hash_encode_gradients(small_levels):
     x = jax.random.uniform(jax.random.PRNGKey(7), (5, 3), minval=0.1, maxval=0.9)
 
     def loss_t(t):
-        return jnp.sum(hash_encode(t, x, small_levels) ** 2)
+        pair = build_pair_table(t, small_levels, dtype=jnp.float32)
+        return jnp.sum(hash_encode(pair, x, small_levels) ** 2)
 
     g_table = jax.grad(loss_t)(table)
     assert np.isfinite(np.asarray(g_table)).all()
     assert np.abs(np.asarray(g_table)).sum() > 0
 
+    pair = build_pair_table(table, small_levels, dtype=jnp.float32)
+
     def loss_x(xx):
-        return jnp.sum(hash_encode(table, xx, small_levels) ** 2)
+        return jnp.sum(hash_encode(pair, xx, small_levels) ** 2)
 
     g_x = jax.grad(loss_x)(x)
     assert np.isfinite(np.asarray(g_x)).all()
@@ -464,18 +518,19 @@ def test_occupancy_update_and_binaries():
 
 
 def test_blended_custom_vjp_matches_autodiff(small_levels):
-    """The custom-VJP blended encode == plain autodiff (values + all grads)."""
+    """The custom-VJP blended encode == plain autodiff (values + all grads),
+    end-to-end through the canonical-table pair build (tests the roll-back
+    gradient fold too)."""
     from nersemble_tpu.ops.hash_encoding import (
+        build_pair_table,
         hash_encode_blended,
         hash_encode_blended_reference,
         init_hash_table,
-        padded_row_width,
     )
 
     H, Fl = 4, 2
-    W = padded_row_width(64)  # force the padded-row path (128 wide, 8 real)
-    table = init_hash_table(jax.random.PRNGKey(0), small_levels, row_width=W)
-    table = table.at[:, H * Fl:].set(0.0)
+    table = init_hash_table(jax.random.PRNGKey(0), small_levels,
+                            row_width=H * Fl)
     N = 23
     x = jax.random.uniform(jax.random.PRNGKey(1), (N, 3), minval=0.05,
                            maxval=0.95)
@@ -483,7 +538,8 @@ def test_blended_custom_vjp_matches_autodiff(small_levels):
     g_out = jax.random.normal(jax.random.PRNGKey(3), (N, 6 * Fl))
 
     def run(fn, t, xx, c):
-        out = fn(t, xx, c, small_levels, features_per_logical=Fl)
+        pair = build_pair_table(t, small_levels, dtype=jnp.float32)
+        out = fn(pair, xx, c, small_levels, features_per_logical=Fl)
         return jnp.sum(out * g_out), out
 
     (loss_c, out_c), grads_c = jax.value_and_grad(
@@ -499,5 +555,3 @@ def test_blended_custom_vjp_matches_autodiff(small_levels):
     for name, gc, gr in zip(("table", "x", "code"), grads_c, grads_r):
         np.testing.assert_allclose(np.asarray(gc), np.asarray(gr),
                                    atol=2e-3, rtol=2e-3, err_msg=name)
-    # pad columns get zero gradient
-    assert np.abs(np.asarray(grads_c[0])[:, H * Fl:]).max() == 0.0

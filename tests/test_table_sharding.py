@@ -17,6 +17,7 @@ def test_feature_sharded_encode_matches_replicated():
 
     from nersemble_tpu.ops.hash_encoding import (
         HashGridLevels,
+        build_pair_table,
         hash_encode_blended,
         init_hash_table,
     )
@@ -27,8 +28,9 @@ def test_feature_sharded_encode_matches_replicated():
     table = init_hash_table(jax.random.PRNGKey(0), levels, row_width=64)
     x = jax.random.uniform(jax.random.PRNGKey(1), (33, 3))
     code = jax.random.normal(jax.random.PRNGKey(2), (33, 32))
-    f = jax.jit(lambda t, x, c: hash_encode_blended(t, x, c, levels,
-                                                    features_per_logical=2))
+    f = jax.jit(lambda t, x, c: hash_encode_blended(
+        build_pair_table(t, levels, dtype=jnp.float32), x, c, levels,
+        features_per_logical=2))
     out_rep = f(table, x, code)
 
     mesh = make_mesh(8)
