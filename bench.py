@@ -8,6 +8,7 @@ Baseline derivation (BASELINE.md): the reference trains 300,001 steps x 4096
 rays in ~24 h on an RTX A6000 => ~14,200 rays/s. vs_baseline = ours / 14200.
 """
 
+import argparse
 import json
 import time
 
@@ -15,6 +16,15 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    # A/B knobs; defaults == the official benched configuration
+    ap.add_argument("--fraction", type=float, default=None,
+                    help="override sampling.global_budget_fraction")
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="override max_n_samples_per_batch")
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -31,6 +41,10 @@ def main():
     n_rays = 4096
     config.sampling.max_samples_per_ray = 64
     config.sampling.max_candidates_per_ray = 1024
+    if args.fraction is not None:
+        config.sampling.global_budget_fraction = args.fraction
+    if args.chunk is not None:
+        config.max_n_samples_per_batch = args.chunk
 
     model = NeRSembleModel(config)
     params = model.init_params(jax.random.PRNGKey(0))
@@ -75,7 +89,7 @@ def main():
                                                batch, jax.random.PRNGKey(0))
     jax.block_until_ready(total)
 
-    n_iters = 30
+    n_iters = args.iters
     t0 = time.perf_counter()
     for i in range(n_iters):
         params, opt_state, total, n_samples = step(params, opt_state,

@@ -202,8 +202,13 @@ class ModelConfig(ConfigBase):
     # Per-sample compute chunking: the deform+field pipeline processes at most
     # this many samples at once (lax.map over rematerialized chunks), bounding
     # the ~[chunk, L*8*F] hash-gather buffers in HBM (reference analogue:
-    # max_n_samples_per_batch, nersemble_nerfacto_field.py:259). -1 = no chunking.
-    max_n_samples_per_batch: int = 2 ** 13
+    # max_n_samples_per_batch, nersemble_nerfacto_field.py:259). -1 = no
+    # chunking. Chunks are EXPENSIVE on TPU: each lax.map iteration re-reads
+    # and re-accumulates the [E, 2W] table gradient (measured ~55 ms/chunk on
+    # v5e for the flagship table), so use the largest chunk that fits HBM.
+    # 2^16 measured best (2 chunks at the benched budget): 1261 -> 572 ms/step
+    # vs 2^13.
+    max_n_samples_per_batch: int = 2 ** 16
 
     # Ray marching
     near_plane: float = 0.2

@@ -417,9 +417,24 @@ class NeRSembleTrainer:
                                             jnp.asarray(gt))),
         }
         self.writer.put_scalars(step, scalars)
-        self.writer.put_image(step, f"cam_{image_rays['entry'].cam_id}_rgb",
-                              rendered["rgb"])
-        self.writer.put_image(step, f"cam_{image_rays['entry'].cam_id}_gt", gt)
+        cam = image_rays["entry"].cam_id
+        self.writer.put_image(step, f"cam_{cam}_rgb", rendered["rgb"])
+        self.writer.put_image(step, f"cam_{cam}_gt", gt)
+        # colormapped diagnostics (reference get_image_metrics_and_images,
+        # nersemble_instant_ngp.py:424-500: acc / depth / error / deformation)
+        from nersemble_tpu.utils import colormaps as C
+        self.writer.put_image(step, f"cam_{cam}_accumulation",
+                              C.apply_colormap(rendered["accumulation"]))
+        self.writer.put_image(step, f"cam_{cam}_depth",
+                              C.apply_depth_colormap(
+                                  rendered["depth"],
+                                  accumulation=rendered["accumulation"]))
+        self.writer.put_image(step, f"cam_{cam}_error",
+                              C.apply_error_colormap(rendered["rgb"], gt))
+        if "deformation" in rendered:
+            self.writer.put_image(step, f"cam_{cam}_deformation",
+                                  C.apply_scene_flow_colormap(
+                                      rendered["deformation"]))
         return scalars
 
     def _train_image(self, step: int) -> None:

@@ -2,9 +2,11 @@
 
 Reference: scripts/evaluate/evaluate_nersemble.py:22-321. Renders the 4
 evaluation cameras at ``max_eval_timesteps`` evenly spaced timesteps (or every
-``skip_timesteps``-th with -1), computes PSNR/SSIM/MSE (+ LPIPS when weights
-are available; JOD is skipped — pyfvvdp is not in this image) both raw and
-alpha-masked, writes per-frame PNGs and ``evaluation_result.json`` in the
+``skip_timesteps``-th with -1), computes PSNR/SSIM/MSE (+ LPIPS when VGG
+weights are available, + per-camera JOD when pyfvvdp is importable — both
+null otherwise) raw and alpha-masked, writes per-frame PNGs named
+``frame_{original_timestep:05d}/cam_{global_cam_id}.png`` and
+``evaluation_result.json`` (per_cam keyed by camera serial) in the
 reference's evaluation folder layout.
 """
 
@@ -104,6 +106,10 @@ def main(argv=None, data_location=None, original_image_size=None):
 
     per_cam = defaultdict(lambda: {"regular": defaultdict(list),
                                    "masked": defaultdict(list)})
+    frames_pred = defaultdict(list)
+    frames_gt = defaultdict(list)
+    frames_pred_masked = defaultdict(list)
+    frames_gt_masked = defaultdict(list)
     for image_idx in indices:
         rays = loader.image_rays(image_idx)
         rendered = trainer.render_image(rays, step=checkpoint,
@@ -115,18 +121,53 @@ def main(argv=None, data_location=None, original_image_size=None):
 
         entry = rays["entry"]
         cam_pos = entry.cam_pos  # 0..3 within EVALUATION_CAM_IDS
-        timestep = entry.timestep_index
+        # artifacts are named by the GLOBAL cam id and the ON-DISK frame
+        # number (reference: evaluate_nersemble.py:140-151)
         manager.save_evaluation_img(
-            cam_pos, (np.clip(pred, 0, 1) * 255).round().astype(np.uint8),
-            checkpoint=checkpoint, timestep=timestep, **artifact_kwargs)
+            entry.cam_id, (np.clip(pred, 0, 1) * 255).round().astype(np.uint8),
+            checkpoint=checkpoint, timestep=entry.original_timestep,
+            **artifact_kwargs)
+
+        # JOD frame stacks in uint8 (reference: :156-167)
+        pred_u8 = (np.clip(pred, 0, 1) * 255).astype(np.uint8)
+        gt_u8 = (np.clip(gt, 0, 1) * 255).astype(np.uint8)
+        frames_pred[cam_pos].append(pred_u8)
+        frames_gt[cam_pos].append(gt_u8)
+        if alpha is not None:
+            from nersemble_tpu.utils.metrics import perform_alpha_blending
+            a_u8 = (np.clip(alpha, 0, 1) * 255).astype(np.uint8)
+            frames_pred_masked[cam_pos].append(
+                perform_alpha_blending(pred_u8, a_u8))
+            frames_gt_masked[cam_pos].append(
+                perform_alpha_blending(gt_u8, a_u8))
+
         for key, value in regular.items():
             if value is not None:
                 per_cam[cam_pos]["regular"][key].append(value)
         for key, value in masked.items():
             if value is not None:
                 per_cam[cam_pos]["masked"][key].append(value)
-        print(f"[eval] cam {cam_pos} frame {timestep}: "
+        print(f"[eval] cam {entry.cam_id} frame {entry.original_timestep}: "
               f"psnr={regular['psnr']:.2f} ssim={regular['ssim']:.3f}")
+
+    # JOD video metric per camera (reference: evaluate_nersemble.py:206-240);
+    # null when pyfvvdp is unavailable in the environment
+    from nersemble_tpu.utils.jod import (evaluation_fps, get_jod_evaluator,
+                                         jod_score)
+    evaluator = get_jod_evaluator()
+    if evaluator is not None:
+        fps = evaluation_fps(config.data.skip_timesteps,
+                             config.data.n_timesteps,
+                             args.max_eval_timesteps, args.skip_timesteps)
+        for cam_pos in frames_pred:
+            jod = jod_score(evaluator, np.stack(frames_pred[cam_pos]),
+                            np.stack(frames_gt[cam_pos]), fps)
+            per_cam[cam_pos]["regular"]["jod"].append(jod)
+            if cam_pos in frames_pred_masked:
+                jod_m = jod_score(evaluator,
+                                  np.stack(frames_pred_masked[cam_pos]),
+                                  np.stack(frames_gt_masked[cam_pos]), fps)
+                per_cam[cam_pos]["masked"]["jod"].append(jod_m)
 
     def bundle(reg: dict, msk: dict) -> NVSEvaluationMetricsBundle:
         def metrics_of(d):
@@ -137,13 +178,22 @@ def main(argv=None, data_location=None, original_image_size=None):
         return NVSEvaluationMetricsBundle(regular=metrics_of(reg),
                                           masked=metrics_of(msk))
 
+    from nersemble_tpu.constants import SERIALS
+
+    def cam_key(cam_pos: int) -> str:
+        """per_cam JSON keys are camera SERIALS
+        (reference: evaluate_nersemble.py:287-299)."""
+        cam_ids = trainer.eval_outputs.cam_ids
+        return SERIALS[cam_ids[cam_pos]] if cam_pos < len(cam_ids) \
+            else str(cam_pos)
+
     result = NVSEvaluationResult(
         mean=bundle(
             {k: sum((per_cam[c]["regular"][k] for c in per_cam), [])
              for k in ("psnr", "ssim", "lpips", "mse", "jod")},
             {k: sum((per_cam[c]["masked"][k] for c in per_cam), [])
              for k in ("psnr", "ssim", "lpips", "mse", "jod")}),
-        per_cam={str(c): bundle(per_cam[c]["regular"], per_cam[c]["masked"])
+        per_cam={cam_key(c): bundle(per_cam[c]["regular"], per_cam[c]["masked"])
                  for c in sorted(per_cam)},
     )
     manager.save_evaluation_result(result, checkpoint=checkpoint, **artifact_kwargs)

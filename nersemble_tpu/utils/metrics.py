@@ -65,7 +65,22 @@ def ssim(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0,
 
 def apply_alpha_mask(image: np.ndarray, alpha: np.ndarray,
                      background: float = 1.0) -> np.ndarray:
-    """Blend an [H, W, 3] image against the background with [H, W] alpha
-    (masked-metric preprocessing, reference: evaluate_nersemble.py:22-35)."""
+    """Blend an [H, W, 3] float image against the background with [H, W]
+    alpha — the masked-METRIC preprocessing, which the reference does in
+    float (nersemble_instant_ngp.py:473-482: alpha_map/255 blend)."""
     a = alpha[..., None]
     return a * image + (1 - a) * background
+
+
+def perform_alpha_blending(image: np.ndarray, alpha_map: np.ndarray
+                           ) -> np.ndarray:
+    """uint8-quantized white-background blend — the masked-JOD frame
+    preprocessing, bit-matching the reference's perform_alpha_blending
+    (evaluate_nersemble.py:22-35): blend in float, clip, round back to uint8.
+    """
+    assert image.dtype == np.uint8 and alpha_map.dtype == np.uint8
+    a = (alpha_map / 255.0)
+    if a.ndim == image.ndim - 1:
+        a = a[..., None]
+    out = a * (image / 255.0) + (1 - a)
+    return np.clip(out * 255.0, 0, 255).astype(np.uint8)

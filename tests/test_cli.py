@@ -72,17 +72,41 @@ def test_cli_journey(cli_env):
     ckpts = list((run_dir / "checkpoints").glob("step-*.ckpt"))
     assert len(ckpts) == 1  # save_only_latest
 
-    # -- evaluate -------------------------------------------------------
-    eval_result = evaluate_nersemble.main(
-        ["NERS-001-smoke", "--max-eval-timesteps", "2", "--n-rays-eval", "512"])
+    # -- evaluate (with a fake JOD evaluator injected) --------------------
+    from nersemble_tpu.constants import EVALUATION_CAM_IDS, SERIALS
+    from nersemble_tpu.utils.jod import set_jod_evaluator_factory
+
+    class FakeJod:
+        def predict(self, pred, gt, dim_order, frames_per_second):
+            assert dim_order == "FHWC" and pred.dtype == np.uint8
+            assert pred.shape == gt.shape and pred.ndim == 4
+            assert frames_per_second >= 4.1
+            return np.float32(8.5), None
+
+    set_jod_evaluator_factory(FakeJod)
+    try:
+        eval_result = evaluate_nersemble.main(
+            ["NERS-001-smoke", "--max-eval-timesteps", "2",
+             "--n-rays-eval", "512"])
+    finally:
+        set_jod_evaluator_factory(None)
     assert eval_result.mean.regular.psnr is not None
+    assert eval_result.mean.regular.jod == pytest.approx(8.5)
+    assert eval_result.mean.masked.jod == pytest.approx(8.5)
     result_files = list((run_dir / "evaluation").rglob("evaluation_result.json"))
     assert len(result_files) == 1
     data = json.loads(result_files[0].read_text())
     assert "mean" in data and "per_cam" in data
-    assert set(data["per_cam"].keys()) == {"0", "1", "2", "3"}
+    # per_cam keyed by camera serial (reference: evaluate_nersemble.py:287-299)
+    assert set(data["per_cam"].keys()) == \
+        {SERIALS[c] for c in EVALUATION_CAM_IDS}
     pngs = list((run_dir / "evaluation").rglob("cam_*.png"))
     assert len(pngs) == 8  # 4 cams x 2 timesteps
+    # artifacts named frame_{original_timestep:05d}/cam_{global_cam_id}.png
+    # (reference: evaluate_nersemble.py:140-151)
+    names = {p.parent.name + "/" + p.name for p in pngs}
+    assert names == {f"frame_{t:05d}/cam_{c}.png"
+                     for t in (0, 2) for c in EVALUATION_CAM_IDS}
 
     # -- render ---------------------------------------------------------
     outputs = render_nersemble.main(
