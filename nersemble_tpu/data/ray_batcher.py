@@ -129,12 +129,17 @@ class RayBatcher:
             yield self._queue.get()
 
     def stop(self):
+        """Stop the prefetch thread. Keeps draining until the worker exits so
+        a worker blocked in ``queue.put`` (queue full) is always released —
+        a single drain could race with one final put."""
         self._stop.set()
-        try:
-            while True:
+        import time as _time
+        while self._thread is not None and self._thread.is_alive():
+            try:
                 self._queue.get_nowait()
-        except queue.Empty:
-            pass
+            except queue.Empty:
+                _time.sleep(0.005)
+            self._thread.join(timeout=0.05)
 
 
 class EvalImageLoader:

@@ -129,7 +129,18 @@ class NeRSembleTrainer:
                                   num_rays=n_rays, seed=config.seed)
 
         self.writer = writer or MetricsWriter(self.run_dir,
-                                              enabled=config.vis != "none")
+                                              enabled=config.vis != "none",
+                                              mode=config.vis)
+        self._eval_batch_iter = None
+
+        # startup model summary (reference: torchinfo.summary,
+        # train_nersemble.py:277)
+        from nersemble_tpu.engine.writer import param_count_summary
+        counts = param_count_summary(self.params)
+        print("[nersemble-tpu] parameters: "
+              + "  ".join(f"{k}={v:,}" for k, v in counts.items()))
+        self.writer.put_scalars(self.start_step,
+                                {f"params/{k}": v for k, v in counts.items()})
         self._build_steps()
 
     def _build_param_shardings(self):
@@ -177,6 +188,7 @@ class NeRSembleTrainer:
                     "psnr": M.psnr(outputs["rgb"], batch["rgb"]),
                     "num_samples": jnp.sum(outputs["num_samples_per_ray"]),
                     "num_dropped": jnp.sum(outputs["num_dropped_per_ray"]),
+                    "num_budget_dropped": outputs["num_budget_dropped"],
                 }
                 return total, aux
 
@@ -320,6 +332,7 @@ class NeRSembleTrainer:
                 losses = {k: float(v) for k, v in aux["losses"].items()}
                 now = time.time()
                 dt = max(now - t_last_log, 1e-6)
+                from nersemble_tpu.engine.writer import device_memory_scalars
                 scalars = {
                     "train_loss": total,
                     "train_psnr": float(aux["psnr"]),
@@ -329,7 +342,11 @@ class NeRSembleTrainer:
                     **{f"loss/{k}": v for k, v in losses.items()},
                     **{f"lr/{k}": float(v) for k, v in lrs.items()},
                     **{f"window_param/{k}": float(v) for k, v in sched.items()},
+                    **device_memory_scalars(),
                 }
+                if "num_budget_dropped" in aux:
+                    scalars["budget_dropped_per_batch"] = \
+                        float(aux["num_budget_dropped"])
                 self.writer.put_scalars(step, scalars)
                 t_last_log = now
                 rays_since_log = 0
@@ -361,12 +378,16 @@ class NeRSembleTrainer:
     # ------------------------------------------------------------------
 
     def _eval_batch(self, step: int) -> None:
-        """Eval-ray loss batch (reference: nersemble_trainer.py:120-125)."""
-        eval_batcher = RayBatcher(self.eval_dataset, self.config.data,
-                                  num_rays=self.config.data.eval_num_rays_per_batch
-                                  // self.n_devices * self.n_devices,
-                                  seed=self.config.seed + step)
-        host_batch = next(iter(eval_batcher._generator()))
+        """Eval-ray loss batch (reference: nersemble_trainer.py:120-125).
+        One persistent (threadless) batch generator is reused across calls."""
+        if self._eval_batch_iter is None:
+            eval_batcher = RayBatcher(
+                self.eval_dataset, self.config.data,
+                num_rays=self.config.data.eval_num_rays_per_batch
+                // self.n_devices * self.n_devices,
+                seed=self.config.seed + 7919)
+            self._eval_batch_iter = eval_batcher._generator()
+        host_batch = next(self._eval_batch_iter)
         batch = self._device_batch(host_batch)
         sched = self.sched_values(step)
         out = self._render_chunk(self.params, self.grid_occs, self.grid_mask,

@@ -28,7 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("participant_id", type=int)
     p.add_argument("sequence_name", type=str)
     p.add_argument("--name", type=str, default=None)
-    p.add_argument("--vis", type=str, default="csv", choices=["csv", "none"])
+    p.add_argument("--vis", type=str, default="csv",
+                   choices=["csv", "tensorboard", "none"])
 
     # sequence
     p.add_argument("--start-timestep", type=int, default=0)
@@ -79,8 +80,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-train-rays", type=int, default=4096)
     p.add_argument("--grid-levels", type=int, default=1)
     p.add_argument("--disable-occupancy-grid", action="store_true")
-    p.add_argument("--max-samples-per-ray", type=int, default=256)
+    p.add_argument("--max-samples-per-ray", type=int, default=64)
     p.add_argument("--max-candidates-per-ray", type=int, default=1024)
+    p.add_argument("--global-budget-fraction", type=float, default=0.5,
+                   help="evaluate only this fraction of the R*S sample slots "
+                        "per batch (global compaction; 1.0 disables)")
+    p.add_argument("--max-n-samples-per-batch", type=int, default=2 ** 16,
+                   help="sample-chunk size bounding HBM "
+                        "(reference: train_nersemble.py:90)")
+    p.add_argument("--eps-depth-initial", type=float, default=0.9)
+    p.add_argument("--eps-depth-final", type=float, default=0.01)
+    p.add_argument("--eps-depth-end-step", type=int, default=10000)
+    p.add_argument("--steps-per-eval-batch", type=int, default=500)
 
     # view-frustum culling
     p.add_argument("--use-view-frustum-culling",
@@ -150,7 +161,12 @@ def build_config(args, run_name: str, output_dir: str) -> TrainConfig:
         sampling=SamplingConfig(
             max_samples_per_ray=args.max_samples_per_ray,
             max_candidates_per_ray=args.max_candidates_per_ray,
+            global_budget_fraction=args.global_budget_fraction,
         ),
+        max_n_samples_per_batch=args.max_n_samples_per_batch,
+        eps_depth_initial=args.eps_depth_initial,
+        eps_depth_final=args.eps_depth_final,
+        eps_depth_end_step=args.eps_depth_end_step,
         use_masked_rgb_loss=True,
         alpha_mask_threshold=0.0,
         lambda_alpha_loss=args.lambda_alpha_loss,
@@ -185,7 +201,7 @@ def build_config(args, run_name: str, output_dir: str) -> TrainConfig:
         experiment_name=run_name,
         output_dir=output_dir,
         max_num_iterations=args.max_num_iterations,
-        steps_per_eval_batch=500,
+        steps_per_eval_batch=args.steps_per_eval_batch,
         steps_per_eval_image=args.steps_per_eval_image,
         steps_per_eval_all_images=args.steps_per_eval_all_images,
         steps_per_save=args.steps_per_save,

@@ -18,8 +18,12 @@ from typing import Optional
 
 import numpy as np
 
-_VGG_LAYERS = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]  # conv indices
-_SLICE_ENDS = [4, 9, 16, 23, 30]  # feature taps after relu1_2..relu5_3
+# torchvision VGG-16 ``features`` indices: conv layers, maxpool layers, and
+# the LPIPS feature taps (relu1_2, relu2_2, relu3_3, relu4_3, relu5_3)
+_VGG_CONVS = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+_VGG_POOLS = (4, 9, 16, 23)  # pool 30 sits after the last tap — never reached
+_TAPS = (3, 8, 15, 22, 29)
+# LPIPS input scaling layer constants (lpips/pretrained_networks.py)
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
@@ -34,6 +38,11 @@ def _load_weights():
 
 def lpips_available() -> bool:
     return _load_weights() is not None
+
+
+def reset_lpips_cache() -> None:
+    """Drop the cached weights (tests change NERSEMBLE_LPIPS_WEIGHTS)."""
+    _load_weights.cache_clear()
 
 
 def lpips_or_none(pred: np.ndarray, target: np.ndarray) -> Optional[float]:
@@ -51,23 +60,20 @@ def lpips_or_none(pred: np.ndarray, target: np.ndarray) -> Optional[float]:
 
     def vgg_features(x):
         feats = []
-        layer = 0
-        for i in range(31):
-            if i in _VGG_LAYERS:
+        for i in range(_TAPS[-1] + 1):
+            if i in _VGG_CONVS:
                 w = jnp.asarray(weights[f"features.{i}.weight"])
                 b = jnp.asarray(weights[f"features.{i}.bias"])
                 x = jax.lax.conv_general_dilated(
                     x, w, (1, 1), "SAME",
                     dimension_numbers=("NCHW", "OIHW", "NCHW")) + b[None, :, None, None]
-            elif i in (4, 9, 16, 23):
+            elif i in _VGG_POOLS:
                 x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
                                           (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
             else:
                 x = jax.nn.relu(x)
-                if i + 1 in _SLICE_ENDS or i in (3, 8, 15, 22, 29):
-                    pass
-            if i in (3, 8, 15, 22, 29):
-                feats.append(jax.nn.relu(x))
+            if i in _TAPS:
+                feats.append(x)
         return feats
 
     fx = vgg_features(normalize(pred))

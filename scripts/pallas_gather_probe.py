@@ -33,7 +33,7 @@ def timeit(fn, *args, n=5, warmup=1):
     return (time.perf_counter() - t0) / n * 1000.0
 
 
-def make_pallas_gather(E, W, N, depth=32, dtype=None):
+def make_pallas_gather(E, W, N, depth=32, dtype=None, interpret=False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -44,8 +44,8 @@ def make_pallas_gather(E, W, N, depth=32, dtype=None):
     def kernel(idx_ref, table_ref, out_ref, sems):
         def get_dma(i):
             return pltpu.make_async_copy(
-                table_ref.at[idx_ref[i]],
-                out_ref.at[i],
+                table_ref.at[pl.ds(idx_ref[i], 1), :],
+                out_ref.at[pl.ds(i, 1), :],
                 sems.at[jax.lax.rem(i, depth)],
             )
 
@@ -62,7 +62,7 @@ def make_pallas_gather(E, W, N, depth=32, dtype=None):
             get_dma(i).wait()
             return 0
 
-        jax.lax.fori_loop(jnp.maximum(N - depth, 0), N, tail, 0)
+        jax.lax.fori_loop(max(N - depth, 0), N, tail, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -78,6 +78,7 @@ def make_pallas_gather(E, W, N, depth=32, dtype=None):
             out_shape=jax.ShapeDtypeStruct((N, W), dtype),
             grid_spec=grid_spec,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
         )(idx, table)
 
     return run

@@ -1,0 +1,137 @@
+"""Quality benchmark: convergence of the BENCHED configuration on a textured
+synthetic capture (VERDICT round-1 items 3 & 8).
+
+Generates a textured, non-rigidly deforming synthetic sequence in the
+reference on-disk layout (tests/synthetic_data.py), trains the same model
+configuration bench.py measures (S=64 slots, global budget fraction 0.5,
+chunk 2^16, 2^19-entry 32-table hash ensemble, SE(3) deformation), and
+records hold-out PSNR/SSIM curves plus the sample-drop diagnostics that
+justify the budget. Output: QUALITY_r2.json at the repo root (+ prints a
+summary table).
+
+Usage (on the TPU host, nothing else running):
+    python scripts/quality_benchmark.py --mode static --steps 3000
+    python scripts/quality_benchmark.py --mode dynamic --steps 8000
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def run(mode: str, steps: int, data_root: str, models_root: str,
+        eval_every: int) -> dict:
+    import numpy as np
+
+    import nersemble_tpu.env as env_module
+    from tests.synthetic_data import make_synthetic_dataset
+    from nersemble_tpu.scripts import train_nersemble
+
+    n_timesteps = 1 if mode == "static" else 8
+    squash = 0.0 if mode == "static" else 0.15
+    seq = f"SYN-Q-{mode.upper()}"
+    meta = make_synthetic_dataset(
+        data_root, sequence_name=seq, n_timesteps=n_timesteps,
+        original_size=(256, 352), texture=True, squash=squash)
+
+    env_module.NERSEMBLE_DATA_PATH = data_root
+    env_module.NERSEMBLE_MODELS_PATH = models_root
+
+    # the benched configuration (bench.py/__graft_entry__ flagship), with
+    # schedules compressed to the run length
+    args = [
+        "30", seq,
+        "--name", f"quality-{mode}",
+        "--max-num-iterations", str(steps + 1),
+        "--steps-per-save", str(steps),
+        "--steps-per-eval-image", "0",
+        "--steps-per-eval-batch", "0",
+        "--steps-per-eval-all-images", str(eval_every),
+        "--n-train-rays", "4096",
+        "--max-samples-per-ray", "64",
+        "--max-candidates-per-ray", "-1",  # auto-span
+        "--global-budget-fraction", "0.5",
+    ]
+    if mode == "static":
+        args += ["--n-timesteps", "1",
+                 "--window-deform-end", "0",
+                 "--window-hash-encodings-begin", "0",
+                 "--window-hash-encodings-end", "0",
+                 "--use-deformation-field", "False",
+                 "--use-hash-ensemble", "False"]
+    else:
+        # scaled-down reference schedules (40k/80k over 300k -> here)
+        args += ["--window-deform-end", str(max(steps // 15, 1)),
+                 "--window-hash-encodings-begin", str(max(steps // 8, 1)),
+                 "--window-hash-encodings-end", str(max(steps // 4, 1)),
+                 "--eps-depth-end-step", str(max(steps // 3, 1))]
+
+    t0 = time.time()
+    result = train_nersemble.main(args)
+    wall = time.time() - t0
+
+    # curve from the run's metrics.jsonl
+    import glob
+    run_dirs = sorted(glob.glob(os.path.join(
+        models_root, "nersemble", f"*quality-{mode}")))
+    metrics_path = Path(run_dirs[-1]) / "metrics.jsonl"
+    curve, drops = [], []
+    for line in metrics_path.read_text().splitlines():
+        rec = json.loads(line)
+        if "eval_all_psnr" in rec:
+            curve.append({"step": rec["step"],
+                          "eval_psnr": round(rec["eval_all_psnr"], 3),
+                          "eval_ssim": round(rec.get("eval_all_ssim", 0), 4)})
+        if "budget_dropped_per_batch" in rec:
+            drops.append({"step": rec["step"],
+                          "samples": rec.get("samples_per_batch"),
+                          "slot_dropped": rec.get("dropped_samples_per_batch"),
+                          "budget_dropped": rec["budget_dropped_per_batch"]})
+    return {
+        "mode": mode,
+        "steps": steps,
+        "wall_clock_s": round(wall, 1),
+        "final_train_psnr": round(result.get("train_psnr", float("nan")), 3),
+        "eval_curve": curve,
+        "drop_diagnostics_tail": drops[-5:],
+        "run_dir": run_dirs[-1],
+        "n_timesteps": n_timesteps,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--mode", choices=["static", "dynamic", "both"],
+                    default="both")
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--eval-every", type=int, default=500)
+    ap.add_argument("--data-root", default="/tmp/ns_quality_data")
+    ap.add_argument("--models-root", default="/tmp/ns_quality_models")
+    ap.add_argument("--out", default=str(REPO / "QUALITY_r2.json"))
+    args = ap.parse_args()
+
+    modes = ["static", "dynamic"] if args.mode == "both" else [args.mode]
+    results = {}
+    if os.path.exists(args.out):
+        results = json.loads(Path(args.out).read_text())
+    for mode in modes:
+        steps = args.steps or (3000 if mode == "static" else 8000)
+        results[mode] = run(mode, steps, args.data_root, args.models_root,
+                            args.eval_every)
+        Path(args.out).write_text(json.dumps(results, indent=2))
+        print(f"\n=== {mode}: final train PSNR "
+              f"{results[mode]['final_train_psnr']} ===")
+        for point in results[mode]["eval_curve"]:
+            print(f"  step {point['step']:6d}: eval PSNR {point['eval_psnr']}"
+                  f"  SSIM {point['eval_ssim']}")
+    print(f"\nwrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,28 @@ def sphere_center(time_frac: float) -> np.ndarray:
     return np.array([0.06 * time_frac - 0.03, 0.0, 0.0])
 
 
+def squash_factor(time_frac: float, amplitude: float) -> float:
+    """Time-varying y squash (non-rigid deformation for the textured
+    quality benchmark)."""
+    return 1.0 - amplitude * np.sin(np.pi * time_frac)
+
+
+def surface_texture(n_obj: np.ndarray) -> np.ndarray:
+    """Procedural multi-frequency albedo from OBJECT-space unit normals
+    (sticks to the surface under motion/deformation). Textureless hold-out
+    PSNR is meaningless — VERDICT round 1 — so the quality benchmark needs
+    real high-frequency content to reconstruct."""
+    theta = np.arctan2(n_obj[..., 1], n_obj[..., 0])
+    phi = np.arccos(np.clip(n_obj[..., 2], -1.0, 1.0))
+    t1 = np.sin(9.0 * theta) * np.sin(9.0 * phi)
+    t2 = np.sin(23.0 * theta + 1.3) * np.sin(17.0 * phi + 0.7)
+    t3 = np.sin(5.0 * theta - 2.1) * np.cos(7.0 * phi)
+    r = 0.55 + 0.35 * t1 + 0.10 * t2
+    g = 0.45 + 0.30 * t3 - 0.15 * t1
+    b = 0.50 + 0.25 * t2 + 0.15 * t3
+    return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0)
+
+
 def _camera_rig(n_cams: int = 16):
     """OpenCV world_2_cam poses on a circle around the origin (y = down)."""
     poses = {}
@@ -48,8 +70,14 @@ def _camera_rig(n_cams: int = 16):
 
 
 def _render_view(w2c: np.ndarray, intrinsics: np.ndarray, width: int,
-                 height: int, time_frac: float):
-    """Analytic sphere render -> (rgb u8 [H,W,3], alpha u8 [H,W], depth f32 [H,W])."""
+                 height: int, time_frac: float, texture: bool = False,
+                 squash: float = 0.0):
+    """Analytic render -> (rgb u8 [H,W,3], alpha u8 [H,W], depth f32 [H,W]).
+
+    The shape is a sphere (optionally y-squashed into a time-varying
+    ellipsoid) whose center translates with time; with ``texture`` the albedo
+    is a surface-anchored procedural pattern instead of a flat color.
+    """
     c2w = np.linalg.inv(w2c)
     fx, fy = intrinsics[0, 0], intrinsics[1, 1]
     cx, cy = intrinsics[0, 2], intrinsics[1, 2]
@@ -61,21 +89,34 @@ def _render_view(w2c: np.ndarray, intrinsics: np.ndarray, width: int,
     origin = c2w[:3, 3]
 
     center = sphere_center(time_frac)
-    oc = origin - center
-    b = (dirs * oc).sum(-1)
+    # object space: translate then scale y by 1/s — an ellipsoid becomes the
+    # unit-radius sphere, and the intersection t is corrected via the scaled
+    # ray parameterization
+    s = np.array([1.0, squash_factor(time_frac, squash), 1.0])
+    oc = (origin - center) / s
+    d_obj = dirs / s
+    a = (d_obj * d_obj).sum(-1)
+    b = (d_obj * oc).sum(-1)
     c = (oc * oc).sum() - SPHERE_RADIUS ** 2
-    disc = b * b - c
+    disc = b * b - a * c
     hit = disc > 0
-    t = -b - np.sqrt(np.maximum(disc, 0.0))
+    t = (-b - np.sqrt(np.maximum(disc, 0.0))) / np.maximum(a, 1e-12)
     hit &= t > 0
 
     depth = np.where(hit, t, 0.0).astype(np.float32)
     points = origin + dirs * t[..., None]
-    normals = (points - center) / SPHERE_RADIUS
+    n_obj = ((points - center) / s) / SPHERE_RADIUS
+    n_obj = n_obj / np.maximum(np.linalg.norm(n_obj, axis=-1, keepdims=True),
+                               1e-12)
+    # world normal of the ellipsoid = normalize(n_obj / s)
+    normals = n_obj / s
+    normals = normals / np.maximum(np.linalg.norm(normals, axis=-1,
+                                                  keepdims=True), 1e-12)
     light = np.array([0.5, -0.7, 0.5])
     light = light / np.linalg.norm(light)
     shade = np.clip((normals * light).sum(-1), 0.0, 1.0) * 0.7 + 0.3
-    rgb = np.where(hit[..., None], SPHERE_COLOR * shade[..., None], 0.0)
+    albedo = surface_texture(n_obj) if texture else SPHERE_COLOR
+    rgb = np.where(hit[..., None], albedo * shade[..., None], 0.0)
     rgb_u8 = (np.clip(rgb, 0, 1) * 255).round().astype(np.uint8)
     alpha_u8 = np.where(hit, 255, 0).astype(np.uint8)
     return rgb_u8, alpha_u8, depth
@@ -85,7 +126,9 @@ def make_synthetic_dataset(root, participant_id: int = 30,
                            sequence_name: str = "SYN-1",
                            n_timesteps: int = 3,
                            original_size=(64, 88),
-                           n_cams: int = 16) -> dict:
+                           n_cams: int = 16,
+                           texture: bool = False,
+                           squash: float = 0.0) -> dict:
     """Write the dataset; returns metadata (sizes, poses, intrinsics)."""
     import imageio.v3 as iio
 
@@ -113,7 +156,9 @@ def make_synthetic_dataset(root, participant_id: int = 30,
         for d in (img_dir, alpha_dir, depth_dir):
             d.mkdir(parents=True, exist_ok=True)
         for serial, w2c in poses.items():
-            rgb, alpha, depth = _render_view(w2c, intrinsics_half, w, h, time_frac)
+            rgb, alpha, depth = _render_view(w2c, intrinsics_half, w, h,
+                                             time_frac, texture=texture,
+                                             squash=squash)
             iio.imwrite(img_dir / f"cam_{serial}.png", rgb)
             iio.imwrite(alpha_dir / f"cam_{serial}.png", alpha)
             iio.imwrite(depth_dir / f"cam_{serial}.png", quantizer.encode(depth))

@@ -175,3 +175,65 @@ def test_se3_exp_map():
 
     g = jax.grad(f)(jnp.zeros((1, 6)))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_tensorboard_writer(tmp_path):
+    """vis=tensorboard mirrors scalars/images into TB event files."""
+    import numpy as np
+    from nersemble_tpu.engine.writer import (MetricsWriter,
+                                             param_count_summary)
+
+    w = MetricsWriter(tmp_path, enabled=True, mode="tensorboard")
+    w.put_scalars(3, {"train_loss": 0.5})
+    w.put_image(3, "probe", np.zeros((4, 4, 3), np.float32))
+    w.close()
+    events = list((tmp_path / "tensorboard").glob("events.*"))
+    assert events and events[0].stat().st_size > 0
+    assert (tmp_path / "metrics.jsonl").exists()
+
+    import jax.numpy as jnp
+    counts = param_count_summary({"field": {"a": jnp.zeros((2, 3))},
+                                  "emb": jnp.zeros((4,))})
+    assert counts == {"field": 6, "emb": 4, "total": 10}
+
+
+def test_ray_batcher_stop_releases_blocked_worker():
+    """stop() must terminate a worker blocked in queue.put (full queue)."""
+    import time
+
+    import numpy as np
+    from nersemble_tpu.config import DataConfig
+    from nersemble_tpu.data.ray_batcher import RayBatcher
+
+    class _FakeEntries:
+        def __init__(self, n):
+            from nersemble_tpu.data.dataparser import ImageEntry
+            self.entries = [ImageEntry(image_idx=i, cam_pos=0, cam_id=0,
+                                       timestep_index=0, original_timestep=0,
+                                       time=0.0)
+                            for i in range(n)]
+
+    class _FakeDataset:
+        def __init__(self):
+            class O:
+                image_height, image_width = 8, 8
+                intrinsics = type("I", (), {"fx": 8.0, "fy": 8.0,
+                                            "cx": 4.0, "cy": 4.0})()
+                c2w = np.tile(np.eye(4, dtype=np.float64)[None], (2, 1, 1))
+                entries = _FakeEntries(2).entries
+            self.outputs = O()
+
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return {"rgb": np.zeros((8, 8, 3), np.float32)}
+
+    b = RayBatcher(_FakeDataset(), DataConfig(), num_rays=4, prefetch=1)
+    it = iter(b)
+    next(it)  # start the worker; it will fill the queue and block in put
+    time.sleep(0.1)
+    t0 = time.time()
+    b.stop()
+    assert time.time() - t0 < 5.0
+    assert not b._thread.is_alive()
