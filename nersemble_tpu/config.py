@@ -318,6 +318,11 @@ class ParallelConfig(ConfigBase):
 
     data_axis_size: int = -1  # -1: use all available devices
     shard_hash_tables: bool = False  # optional TP over the table axis
+    # ZeRO-style sharding of the hash table's Adam moments over the data
+    # axis (entry-axis shards). Math-identical to replicated state (GSPMD
+    # inserts the collectives); frees ~2/3 of the table's optimizer HBM per
+    # chip — the moments are the largest state after the params themselves.
+    shard_table_optimizer: bool = True
 
 
 @dataclass

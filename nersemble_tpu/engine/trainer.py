@@ -110,9 +110,10 @@ class NeRSembleTrainer:
         # Adam moments follow the param shardings; count is replicated.
         # (optax.init creates scalars on the default device, which would
         # conflict with the mesh-committed params under jit.)
+        moment_shardings = self._moment_shardings()
         self.opt_shardings = type(self.opt_state)(
             count=mesh_lib.replicated(self.mesh),
-            mu=self.param_shardings, nu=self.param_shardings)
+            mu=moment_shardings, nu=moment_shardings)
         self.opt_state = jax.device_put(self.opt_state, self.opt_shardings)
         self.grid_occs = self.model.init_grid_occs()
         self.start_step = 0
@@ -159,6 +160,29 @@ class NeRSembleTrainer:
             keys = tuple(getattr(k, "key", None) for k in path)
             if keys[:2] == ("field", "table"):
                 return table_sharding
+            return replicated
+
+        return jax.tree_util.tree_map_with_path(spec, self.params)
+
+    def _moment_shardings(self):
+        """Shardings for the Adam moments: same as the params, except the
+        hash table's moments are optionally ZeRO-sharded over the mesh's
+        data axis (entry-axis shards; params stay replicated for compute,
+        GSPMD inserts the collectives around the optimizer update)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        cfg = self.config.parallel
+        E = self.params["field"]["table"].shape[0]
+        if (not cfg.shard_table_optimizer or self.n_devices == 1
+                or self.config.model.shard_hash_tables
+                or E % self.n_devices != 0):
+            return self.param_shardings
+        table_mom = NamedSharding(self.mesh, P("data", None))
+        replicated = mesh_lib.replicated(self.mesh)
+
+        def spec(path, leaf):
+            keys = tuple(getattr(k, "key", None) for k in path)
+            if keys[:2] == ("field", "table"):
+                return table_mom
             return replicated
 
         return jax.tree_util.tree_map_with_path(spec, self.params)

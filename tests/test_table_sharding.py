@@ -76,3 +76,38 @@ def test_table_sharded_training_matches_replicated(tmp_path_factory):
             jax.tree_util.tree_leaves_with_path(results[True])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=1e-3, err_msg=str(path))
+
+
+def test_zero_sharded_optimizer_matches_replicated(tmp_path_factory):
+    """ZeRO-sharded table Adam moments == replicated state (GSPMD collectives
+    are math-identical), while the moments actually live sharded."""
+    from nersemble_tpu.engine.trainer import NeRSembleTrainer
+
+    root = tmp_path_factory.mktemp("nsdata_zero")
+    models = tmp_path_factory.mktemp("nsmodels_zero")
+    meta = make_synthetic_dataset(root, n_timesteps=2)
+    folder = NeRSembleModelFolder(models_path=str(models))
+
+    results = {}
+    for shard_opt in (False, True):
+        manager = folder.new_run(name=f"zero{int(shard_opt)}")
+        config = tiny_train_config(manager.get_run_name(), folder.get_location())
+        config.max_num_iterations = 3
+        config.steps_per_save = 1000
+        config.parallel.data_axis_size = 8
+        config.parallel.shard_table_optimizer = shard_opt
+        trainer = NeRSembleTrainer(config, model_manager=manager,
+                                   data_location=str(root),
+                                   original_image_size=meta["original_size"])
+        if shard_opt:
+            mu_table = trainer.opt_state.mu["field"]["table"]
+            assert not mu_table.sharding.is_fully_replicated
+        trainer.train()
+        trainer.batcher.stop()
+        results[shard_opt] = jax.device_get(trainer.params)
+
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(results[False]),
+            jax.tree_util.tree_leaves_with_path(results[True])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5, err_msg=str(path))
