@@ -158,6 +158,14 @@ class SamplingConfig(ConfigBase):
     # is dropped uniformly per ray). 1.0 disables compaction. The per-batch
     # overflow count is reported as the num_budget_dropped diagnostic.
     global_budget_fraction: float = 1.0
+    # adaptive training budget: periodically re-size the compaction budget to
+    # headroom x the MEASURED per-batch valid-sample count (quantized, so the
+    # step re-jits only a handful of times per run). As the occupancy grid
+    # carves, real fill falls to a few % of R*S — the budget follows it.
+    # Applies to the train step only; eval uses global_budget_fraction.
+    adaptive_budget: bool = True
+    adaptive_budget_headroom: float = 1.3
+    adaptive_budget_interval: int = 500  # steps between re-evaluations
 
 
 @dataclass

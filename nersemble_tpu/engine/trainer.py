@@ -199,12 +199,13 @@ class NeRSembleTrainer:
         sharded = mesh_lib.batch_sharding(self.mesh)
 
         def train_step(params, opt_state, grid_occs, grid_mask, batch, sched,
-                       lrs, rng):
+                       lrs, rng, budget=None):
             binaries = model.binaries(grid_occs, grid_mask)
 
             def loss_fn(p):
                 outputs = model.render_rays(p, batch, binaries, sched,
-                                            rng=rng, train=True)
+                                            rng=rng, train=True,
+                                            budget=budget)
                 losses = model.compute_losses(outputs, batch, sched, train=True)
                 total = sum(losses.values())
                 aux = {
@@ -221,14 +222,32 @@ class NeRSembleTrainer:
             params = apply_updates_with_group_lrs(params, updates, key_to_group, lrs)
             return params, opt_state, total, aux
 
-        self._train_step = jax.jit(
-            train_step,
-            donate_argnums=(0, 1),
-            # params/opt_state shardings are inferred from the committed
-            # arrays (replicated, or table-sharded in TP mode)
-            in_shardings=(None, None, replicated, replicated,
-                          sharded, replicated, replicated, replicated),
-        )
+        # one jitted step per (rare, quantized) compaction budget — the
+        # adaptive-budget logic re-jits only when the quantum changes
+        self._train_step_fn = train_step
+        self._train_steps = {}
+
+        def make_step(budget):
+            import functools
+            return jax.jit(
+                functools.partial(train_step, budget=budget),
+                donate_argnums=(0, 1),
+                # params/opt_state shardings are inferred from the committed
+                # arrays (replicated, or table/ZeRO-sharded)
+                in_shardings=(None, None, replicated, replicated,
+                              sharded, replicated, replicated, replicated),
+            )
+
+        self._make_train_step = make_step
+
+        cfg = self.config
+        R = cfg.data.train_num_rays_per_batch
+        S = cfg.model.sampling.max_samples_per_ray
+        frac = cfg.model.sampling.global_budget_fraction
+        self._budget = -(-int(R * S * frac) // 128) * 128 \
+            if 0 < frac < 1.0 else R * S
+        self._sample_counts = []
+        self._budget_drops = []
 
         def occ_update(params, grid_occs, rng, sched, warmup):
             return model.occupancy_grid_update(params, grid_occs, rng, sched,
@@ -292,6 +311,38 @@ class NeRSembleTrainer:
         connected-component filter) into the sampling binaries."""
         self.grid_mask = self.grid_mask & jnp.asarray(mask)
 
+    def _maybe_adapt_budget(self, step: int, aux) -> None:
+        """Re-size the compaction budget to the measured valid-sample count
+        (quantized + hysteresis, see ops/sampling.quantized_budget). Sample
+        counts are only fetched on the cheap cadence of the adaptive
+        interval so the dispatch pipeline never blocks on extra syncs."""
+        scfg = self.config.model.sampling
+        if not scfg.adaptive_budget:
+            return
+        interval = max(scfg.adaptive_budget_interval, 1)
+        # sample the diagnostics a few times per interval
+        if step % max(interval // 4, 1) != 0:
+            return
+        self._sample_counts.append(float(aux["num_samples"]))
+        self._budget_drops.append(float(aux["num_budget_dropped"]))
+        if step == 0 or step % interval != 0:
+            return
+        from nersemble_tpu.ops.sampling import quantized_budget
+        R = self.config.data.train_num_rays_per_batch
+        S = self.config.model.sampling.max_samples_per_ray
+        # num_samples is the PRE-compaction valid count (march diagnostics),
+        # so it already includes anything the current budget dropped
+        measured = max(self._sample_counts[-8:])
+        new = quantized_budget(measured, R, S,
+                               headroom=scfg.adaptive_budget_headroom,
+                               current=self._budget)
+        if new != self._budget:
+            print(f"[nersemble-tpu] step {step}: compaction budget "
+                  f"{self._budget} -> {new} "
+                  f"(measured {measured:.0f} valid samples/batch)")
+            self.writer.put_scalars(step, {"sample_budget": new})
+            self._budget = new
+
     def maybe_update_occupancy(self, step: int, rng) -> None:
         cfg = self.config.model
         if cfg.disable_occupancy_grid or step % OCC_UPDATE_EVERY != 0:
@@ -346,10 +397,15 @@ class NeRSembleTrainer:
             batch = self._device_batch(host_batch)
             sched = self.sched_values(step)
             lrs = self.lr_values(step)
-            self.params, self.opt_state, total, aux = self._train_step(
-                self.params, self.opt_state, self.grid_occs, self.grid_mask,
-                batch, sched, lrs, step_rng)
+            if self._budget not in self._train_steps:
+                self._train_steps[self._budget] = \
+                    self._make_train_step(self._budget)
+            self.params, self.opt_state, total, aux = \
+                self._train_steps[self._budget](
+                    self.params, self.opt_state, self.grid_occs,
+                    self.grid_mask, batch, sched, lrs, step_rng)
             rays_since_log += n_rays
+            self._maybe_adapt_budget(step, aux)
 
             if step % cfg.steps_per_log == 0 or step == max_steps - 1:
                 total = float(total)

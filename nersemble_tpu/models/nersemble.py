@@ -227,11 +227,15 @@ class NeRSembleModel:
     # -- rendering -----------------------------------------------------------
 
     def render_rays(self, params, rays: Dict, binaries, sched: Dict,
-                    rng=None, train: bool = True) -> Dict:
+                    rng=None, train: bool = True,
+                    budget: Optional[int] = None) -> Dict:
         """Render a fixed-shape ray batch.
 
         rays: origins [R,3], directions [R,3], timesteps [R] int32,
-        optional camera_indices [R] int32.
+        optional camera_indices [R] int32. ``budget`` overrides the
+        compaction sample budget (static python int; None derives it from
+        sampling.global_budget_fraction — see the adaptive-budget logic in
+        engine/trainer.py).
         """
         cfg = self.config
         origins, directions = rays["origins"], rays["directions"]
@@ -281,8 +285,11 @@ class NeRSembleModel:
                 offsets = jnp.zeros_like(pos)
             return density, rgb, offsets
 
-        frac = cfg.sampling.global_budget_fraction
-        budget = -(-int(R * S * frac) // 128) * 128 if 0 < frac < 1.0 else R * S
+        if budget is None:
+            frac = cfg.sampling.global_budget_fraction
+            budget = -(-int(R * S * frac) // 128) * 128 \
+                if 0 < frac < 1.0 else R * S
+        budget = min(budget, R * S)
         n_budget_dropped = jnp.int32(0)
         if budget < R * S:
             # global compaction: evaluate only `budget` samples, picked from

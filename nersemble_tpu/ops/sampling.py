@@ -94,6 +94,30 @@ def compact_samples(mask: jnp.ndarray, budget: int):
     return sel, inv, order, kept.reshape(S, R).T
 
 
+def quantized_budget(measured_samples: float, n_rays: int, n_slots: int,
+                     headroom: float = 1.3,
+                     current: Optional[int] = None) -> int:
+    """Next train-step compaction budget from a measured valid-sample count.
+
+    Quantized to 1/16ths of R*S (each distinct value costs one re-jit of the
+    train step, so changes must be coarse and rare) with hysteresis: grow
+    immediately when the measured fill approaches the budget, shrink only
+    when clearly (>= 1 quantum) below — as the occupancy grid carves, real
+    fill falls to a few %% of R*S and the budget follows it down.
+    """
+    total = n_rays * n_slots
+    quantum = max(total // 16, 128)
+    q = -(-int(measured_samples * headroom) // quantum) * quantum
+    q = min(max(q, quantum), total)
+    if current is not None:
+        if q > current:
+            return q
+        if q <= current - quantum:
+            return q
+        return current
+    return q
+
+
 def ray_aabb_intersect(origins: jnp.ndarray, directions: jnp.ndarray,
                        aabb_min: jnp.ndarray, aabb_max: jnp.ndarray):
     """Slab intersection: [R, 3] rays x AABB -> (t_near [R], t_far [R]).

@@ -58,19 +58,20 @@ def run(mode: str, steps: int, data_root: str, models_root: str,
         "--max-candidates-per-ray", "-1",  # auto-span
         "--global-budget-fraction", "0.5",
     ]
+    # depth-band anneal compressed to the run length (reference: 10k of 300k)
+    args += ["--eps-depth-end-step", str(max(steps // 3, 1))]
     if mode == "static":
         args += ["--n-timesteps", "1",
                  "--window-deform-end", "0",
                  "--window-hash-encodings-begin", "0",
                  "--window-hash-encodings-end", "0",
-                 "--use-deformation-field", "False",
-                 "--use-hash-ensemble", "False"]
+                 "--no-use-deformation-field",
+                 "--no-use-hash-ensemble"]
     else:
         # scaled-down reference schedules (40k/80k over 300k -> here)
         args += ["--window-deform-end", str(max(steps // 15, 1)),
                  "--window-hash-encodings-begin", str(max(steps // 8, 1)),
-                 "--window-hash-encodings-end", str(max(steps // 4, 1)),
-                 "--eps-depth-end-step", str(max(steps // 3, 1))]
+                 "--window-hash-encodings-end", str(max(steps // 4, 1))]
 
     t0 = time.time()
     result = train_nersemble.main(args)

@@ -159,3 +159,55 @@ def test_multichip_sharded_step_matches_single(env_setup):
             jax.tree_util.tree_leaves_with_path(results[8])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=1e-4, err_msg=str(path))
+
+
+def test_adaptive_budget_shrinks_to_fill(tmp_path_factory):
+    """With a sparse scene the compaction budget adapts DOWN to the measured
+    valid-sample count (quantized), and training continues across the
+    re-jitted steps."""
+    import nersemble_tpu.engine.trainer as trainer_mod
+    from nersemble_tpu.model_manager import NeRSembleModelFolder
+    from tests.synthetic_data import make_synthetic_dataset
+
+    root = tmp_path_factory.mktemp("nsdata_ab")
+    models = tmp_path_factory.mktemp("nsmodels_ab")
+    meta = make_synthetic_dataset(root, n_timesteps=2)
+    folder = NeRSembleModelFolder(models_path=str(models))
+    manager = folder.new_run(name="adapt")
+    config = tiny_train_config(manager.get_run_name(), folder.get_location())
+    config.max_num_iterations = 25
+    config.steps_per_save = 1000
+    config.model.sampling.adaptive_budget = True
+    config.model.sampling.adaptive_budget_interval = 8
+    config.model.sampling.global_budget_fraction = 1.0
+
+    trainer = trainer_mod.NeRSembleTrainer(
+        config, model_manager=manager, data_location=str(root),
+        original_image_size=meta["original_size"])
+    R = config.data.train_num_rays_per_batch
+    S = config.model.sampling.max_samples_per_ray
+    assert trainer._budget == R * S  # fraction 1.0 start
+    result = trainer.train()
+    trainer.batcher.stop()
+    assert np.isfinite(result["loss"])
+    # the synthetic scene fills only a fraction of the slots -> budget shrank
+    assert trainer._budget < R * S
+    assert len(trainer._train_steps) >= 2  # re-jitted at least once
+
+
+def test_quantized_budget_policy():
+    from nersemble_tpu.ops.sampling import quantized_budget
+
+    # quantum = 4096*64/16 = 16384
+    R, S = 4096, 64
+    # fresh: rounds measured*headroom UP to a quantum (65000 -> 4 quanta)
+    assert quantized_budget(50000, R, S, 1.3) == 65536
+    # grow immediately when above current
+    assert quantized_budget(100000, R, S, 1.3, current=65536) == 131072
+    # same quantum -> unchanged
+    assert quantized_budget(50000, R, S, 1.3, current=65536) == 65536
+    # shrink when the quantum falls
+    assert quantized_budget(30000, R, S, 1.3, current=65536) == 49152
+    # clamped to [quantum, R*S]
+    assert quantized_budget(0, R, S, 1.3) == 16384
+    assert quantized_budget(10 ** 9, R, S, 1.3) == R * S
