@@ -60,33 +60,42 @@ class NeRSembleModel:
         self.background = jnp.asarray(_BACKGROUNDS[config.background_color],
                                       jnp.float32)
         self.compute_dtype = jnp.dtype(config.compute_dtype)
-        self.n_grid_cells = config.grid_resolution ** 3
+        # grid_levels > 1: nerfacc-style cascade, level l covers the base box
+        # scaled by 2^l (reference config surface: train_nersemble.py:102;
+        # nerfacc OccGridEstimator(levels=...)). State is flat [L*G^3].
+        self.n_grid_cells = config.grid_levels * config.grid_resolution ** 3
 
         if config.use_hash_ensemble:
             assert config.latent_dim_time == config.hash_ensemble.n_hash_encodings, \
                 "latent_dim_time must equal n_hash_encodings for the blend"
-        # candidate comb must span the scene box, or rays terminate mid-scene
-        diag = float(np.linalg.norm(scene_box[1] - scene_box[0]))
-        needed = int(np.ceil(diag / config.render_step_size))
+        # candidate comb must span the (coarsest-level) scene box, or rays
+        # terminate mid-scene
+        diag = float(np.linalg.norm(scene_box[1] - scene_box[0])) \
+            * (2.0 ** (config.grid_levels - 1))
+        needed = self._candidates_to_span(diag)
         if config.sampling.max_candidates_per_ray == -1:
             # auto-size (rounded up to a lane multiple)
             config.sampling.max_candidates_per_ray = (needed + 127) // 128 * 128
         elif config.sampling.max_candidates_per_ray < needed:
             print(f"[nersemble-tpu] WARNING: max_candidates_per_ray="
-                  f"{config.sampling.max_candidates_per_ray} covers only "
-                  f"{config.sampling.max_candidates_per_ray * config.render_step_size:.2f} "
-                  f"world units but the scene-box diagonal is {diag:.2f} — rays "
-                  f"will stop mid-scene. Use -1 to auto-size (= {needed}).")
+                  f"{config.sampling.max_candidates_per_ray} candidates cannot "
+                  f"span the {diag:.2f}-unit scene-box diagonal — rays will "
+                  f"stop mid-scene. Use -1 to auto-size (= {needed}).")
 
-        if config.cone_angle != 0.0:
-            raise NotImplementedError(
-                "cone_angle > 0 (growing step sizes) is not implemented; all "
-                "reference train configs use cone_angle=0 "
-                "(train_nersemble.py:98)")
-        if config.grid_levels != 1:
-            raise NotImplementedError(
-                "multi-level occupancy grids are not implemented; the "
-                "reference trains with grid_levels=1 (train_nersemble.py:102)")
+    def _candidates_to_span(self, span: float) -> int:
+        """Candidate steps needed to cover ``span`` world units from the
+        worst-case (smallest growth) entry point. With cone_angle=0 this is
+        span/step; with cone_angle>0 steps grow as max(t*cone, step)
+        (nerfacc), simulated here once at init on the host."""
+        cfg = self.config
+        if cfg.cone_angle <= 0:
+            return int(np.ceil(span / cfg.render_step_size))
+        t = max(cfg.near_plane, cfg.render_step_size)
+        end, n = t + span, 0
+        while t < end:
+            t += max(t * cfg.cone_angle, cfg.render_step_size)
+            n += 1
+        return n
 
     # -- parameters ----------------------------------------------------------
 
@@ -215,14 +224,15 @@ class NeRSembleModel:
 
     def binaries(self, grid_occs, frustum_grid=None):
         cfg = self.config
-        g = cfg.grid_resolution
+        g, levels = cfg.grid_resolution, cfg.grid_levels
+        shape = (g, g, g) if levels == 1 else (levels, g, g, g)
         if cfg.disable_occupancy_grid:
-            b = jnp.ones((g, g, g), bool)
+            b = jnp.ones(shape, bool)
             if frustum_grid is not None:
-                b = b & frustum_grid
+                b = b & frustum_grid  # broadcasts over the level axis
             return b
         return occupancy_binaries(grid_occs, cfg.occ_thre,
-                                  frustum_grid).reshape(g, g, g)
+                                  frustum_grid).reshape(shape)
 
     # -- rendering -----------------------------------------------------------
 
@@ -250,7 +260,8 @@ class NeRSembleModel:
         samples, info = march_rays(
             origins, directions, self.aabb_min, self.aabb_max,
             cfg.render_step_size, n_cand, S, binaries=binaries,
-            near_plane=cfg.near_plane, far_plane=cfg.far_plane, jitter=jitter)
+            near_plane=cfg.near_plane, far_plane=cfg.far_plane, jitter=jitter,
+            cone_angle=cfg.cone_angle)
 
         timesteps = rays.get("timesteps")
         if timesteps is None:

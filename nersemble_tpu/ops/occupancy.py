@@ -26,28 +26,43 @@ import numpy as np
 
 def occupancy_binaries(occs: jnp.ndarray, occ_thre: float,
                        frustum_grid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """[G^3] EMA densities -> [G, G, G] binary occupancy."""
+    """[L*G^3] EMA densities -> flat binary occupancy (threshold = min of the
+    global mean and occ_thre, like nerfacc). The camera-frustum culling grid
+    applies to the base (finest) level only — coarser cascade levels cover
+    space outside every training frustum by construction."""
     thre = jnp.minimum(jnp.mean(occs), occ_thre)
     binaries = occs > thre
     if frustum_grid is not None:
-        binaries = binaries & frustum_grid.reshape(binaries.shape)
+        f = frustum_grid.reshape(-1)
+        if f.shape[0] == binaries.shape[0]:
+            binaries = binaries & f
+        else:
+            binaries = binaries.at[:f.shape[0]].set(binaries[:f.shape[0]] & f)
     return binaries
 
 
 def cell_positions(cell_idx: jnp.ndarray, resolution: int,
                    aabb_min: jnp.ndarray, aabb_max: jnp.ndarray,
                    rng: Optional[jax.Array] = None) -> jnp.ndarray:
-    """Flat cell indices -> world positions (jittered inside the cell)."""
+    """Flat cell indices -> world positions (jittered inside the cell).
+
+    Indices beyond G^3 address coarser cascade levels (flat layout
+    ``level * G^3 + cell``): level ``l`` covers the base AABB scaled by
+    ``2**l`` about its center (see ops/sampling.level_aabb)."""
     g = resolution
-    k = cell_idx % g
-    j = (cell_idx // g) % g
-    i = cell_idx // (g * g)
+    lvl = cell_idx // (g * g * g)
+    cell = cell_idx % (g * g * g)
+    k = cell % g
+    j = (cell // g) % g
+    i = cell // (g * g)
     coords = jnp.stack([i, j, k], axis=-1).astype(jnp.float32)
     if rng is not None:
         coords = coords + jax.random.uniform(rng, coords.shape)
     else:
         coords = coords + 0.5
-    return aabb_min + coords / g * (aabb_max - aabb_min)
+    center = (aabb_min + aabb_max) * 0.5
+    half = (aabb_max - aabb_min) * 0.5 * jnp.exp2(lvl.astype(jnp.float32))[:, None]
+    return (center - half) + coords / g * (2.0 * half)
 
 
 def _sample_occupied_cells(rng, binaries_flat: jnp.ndarray, n: int) -> jnp.ndarray:

@@ -23,6 +23,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class RaySamples(NamedTuple):
@@ -134,20 +135,66 @@ def ray_aabb_intersect(origins: jnp.ndarray, directions: jnp.ndarray,
     return t_near, t_far
 
 
+def level_aabb(aabb_min: jnp.ndarray, aabb_max: jnp.ndarray, level: int):
+    """AABB of occupancy-grid cascade ``level``: the base box scaled by
+    ``2**level`` about its center (nerfacc ``OccGridEstimator`` levels)."""
+    center = (aabb_min + aabb_max) * 0.5
+    half = (aabb_max - aabb_min) * (0.5 * (2.0 ** level))
+    return center - half, center + half
+
+
 def occupancy_lookup(binaries: jnp.ndarray, positions: jnp.ndarray,
                      aabb_min: jnp.ndarray, aabb_max: jnp.ndarray) -> jnp.ndarray:
-    """Query the [G, G, G] binary grid at [..., 3] world positions.
+    """Query the binary grid at [..., 3] world positions.
 
-    Out-of-box positions are unoccupied.
+    ``binaries`` is [G, G, G] (single level) or [L, G, G, G] (cascade: level
+    ``l`` covers the base AABB scaled by ``2**l``; a position is judged by the
+    FINEST level containing it, like nerfacc's multi-level traversal).
+    Positions outside every level are unoccupied.
     """
-    g = jnp.asarray(binaries.shape, jnp.int32)
-    norm = (positions - aabb_min) / (aabb_max - aabb_min)
-    cell = jnp.floor(norm * g).astype(jnp.int32)
-    in_bounds = jnp.all((cell >= 0) & (cell < g), axis=-1)
-    cell = jnp.clip(cell, 0, g - 1)
-    flat = (cell[..., 0] * g[1] + cell[..., 1]) * g[2] + cell[..., 2]
-    occ = jnp.take(binaries.reshape(-1), flat)
-    return occ & in_bounds
+    if binaries.ndim == 3:
+        binaries = binaries[None]
+    n_levels = binaries.shape[0]
+    occ = jnp.zeros(positions.shape[:-1], bool)
+    # coarse -> fine: finer levels overwrite where they contain the position
+    for lvl in reversed(range(n_levels)):
+        lo, hi = level_aabb(aabb_min, aabb_max, lvl)
+        g = jnp.asarray(binaries.shape[1:], jnp.int32)
+        norm = (positions - lo) / (hi - lo)
+        cell = jnp.floor(norm * g).astype(jnp.int32)
+        in_bounds = jnp.all((cell >= 0) & (cell < g), axis=-1)
+        cell = jnp.clip(cell, 0, g - 1)
+        flat = (cell[..., 0] * g[1] + cell[..., 1]) * g[2] + cell[..., 2]
+        occ_l = jnp.take(binaries[lvl].reshape(-1), flat)
+        occ = jnp.where(in_bounds, occ_l, occ)
+    return occ
+
+
+def cone_march_ts(t_near: jnp.ndarray, steps: jnp.ndarray,
+                  render_step_size: float, cone_angle: float) -> jnp.ndarray:
+    """Closed form of nerfacc's growing-step march at fractional step index.
+
+    nerfacc advances ``t += max(t * cone_angle, dt_min)``: steps are uniform
+    ``dt_min`` until ``t`` reaches ``t_switch = dt_min / cone_angle``, then
+    geometric with ratio ``1 + cone_angle``. Both phases have closed forms,
+    so the whole comb is generated with one vectorized expression instead of
+    a sequential recurrence (no lax.scan on the hot path):
+
+        f(k) = t_near + k * dt_min                      for k <= k0
+             = (t_near + k0 * dt_min) * (1 + c)^(k - k0)  for k >  k0
+
+    with ``k0 = ceil(max(t_switch - t_near, 0) / dt_min)`` the per-ray count
+    of uniform steps. Continuous at k0; exact for integer k. Fractional k
+    (stratified jitter) interpolates linearly / log-linearly within a step.
+    """
+    dt, c = render_step_size, cone_angle
+    t_switch = dt / c
+    k0 = jnp.ceil(jnp.maximum(t_switch - t_near, 0.0) / dt)  # [R]
+    t_base = t_near + k0 * dt
+    k = steps  # [R, N] or broadcastable
+    linear = t_near[:, None] + k * dt
+    geometric = t_base[:, None] * jnp.exp((k - k0[:, None]) * float(np.log1p(c)))
+    return jnp.where(k <= k0[:, None], linear, geometric)
 
 
 def march_rays(origins: jnp.ndarray,
@@ -160,23 +207,37 @@ def march_rays(origins: jnp.ndarray,
                binaries: Optional[jnp.ndarray] = None,
                near_plane: float = 0.0,
                far_plane: float = 1e10,
-               jitter: Optional[jnp.ndarray] = None):
+               jitter: Optional[jnp.ndarray] = None,
+               cone_angle: float = 0.0):
     """Full sampler: rays -> compacted RaySamples + diagnostics.
 
     jitter: optional [R] uniforms in [0,1) shifting each ray's sample comb
     (training-time stratification). None centers samples (+0.5 offset would
     deviate from nerfacc, which starts at the near point; we use 0).
+    cone_angle > 0 grows the step size with distance (nerfacc:
+    ``dt = max(t * cone_angle, render_step_size)`` — see cone_march_ts).
+    binaries may be a [L, G, G, G] cascade; the march range then spans the
+    COARSEST level's AABB (base scaled by 2^(L-1)).
     Returns (RaySamples, info dict).
     """
-    t_near, t_far = ray_aabb_intersect(origins, directions, aabb_min, aabb_max)
+    outer_min, outer_max = aabb_min, aabb_max
+    if binaries is not None and binaries.ndim == 4 and binaries.shape[0] > 1:
+        outer_min, outer_max = level_aabb(aabb_min, aabb_max,
+                                          binaries.shape[0] - 1)
+    t_near, t_far = ray_aabb_intersect(origins, directions, outer_min, outer_max)
     t_near = jnp.maximum(t_near, near_plane)
     t_far = jnp.minimum(t_far, far_plane)
 
     steps = jnp.arange(n_candidates, dtype=origins.dtype)  # [N]
     if jitter is None:
         jitter = jnp.zeros_like(t_near)
-    t0 = t_near[:, None] + (steps[None, :] + jitter[:, None]) * render_step_size
-    t1 = t0 + render_step_size
+    if cone_angle > 0.0:
+        k = steps[None, :] + jitter[:, None]  # [R, N]
+        t0 = cone_march_ts(t_near, k, render_step_size, cone_angle)
+        t1 = cone_march_ts(t_near, k + 1.0, render_step_size, cone_angle)
+    else:
+        t0 = t_near[:, None] + (steps[None, :] + jitter[:, None]) * render_step_size
+        t1 = t0 + render_step_size
     mids = (t0 + t1) * 0.5
     valid = mids < t_far[:, None]  # [R, N]
 

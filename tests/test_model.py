@@ -294,3 +294,37 @@ def test_compaction_budget_drops_far_tail(model_and_params):
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
     assert float(sum(jnp.abs(g).sum() for g in leaves)) > 0
+
+
+def test_cone_angle_and_grid_levels_end_to_end():
+    """cone_angle > 0 + grid_levels > 1 (previously NotImplemented): render,
+    occupancy maintenance, and gradients all run and stay finite; the cascade
+    grid state has one slab per level."""
+    config = tiny_model_config(cone_angle=0.05, grid_levels=2)
+    config.sampling.max_candidates_per_ray = -1  # auto-size for cone marching
+    model = NeRSembleModel(config)
+    # growing steps need far fewer candidates than uniform over the 2x box
+    uniform_needed = int(np.ceil(
+        2 * np.linalg.norm([2.0, 2.0, 2.0]) / config.render_step_size))
+    assert config.sampling.max_candidates_per_ray < uniform_needed
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    occs = model.init_grid_occs()
+    assert occs.shape == (2 * 16 ** 3,)
+    occs = model.occupancy_grid_update(params, occs, jax.random.PRNGKey(3),
+                                       SCHED, warmup=True)
+    assert np.isfinite(np.asarray(occs)).all()
+    binaries = model.binaries(occs)
+    assert binaries.shape == (2, 16, 16, 16)
+
+    rays = make_rays(8, np.random.default_rng(2))
+
+    def loss_fn(p):
+        out = model.render_rays(p, rays, binaries, SCHED,
+                                rng=jax.random.PRNGKey(2), train=True)
+        return jnp.mean(out["rgb"]) + jnp.mean(out["depth"])
+
+    val, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(val))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(grads):
+        assert np.isfinite(np.asarray(leaf)).all(), path

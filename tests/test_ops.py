@@ -472,6 +472,64 @@ def test_march_rays_jitter_stratified():
     assert float(samples.t_starts[0, 0]) == pytest.approx(1.05, abs=1e-5)
 
 
+def test_cone_march_matches_sequential_recurrence():
+    """Closed-form cone comb == nerfacc's t += max(t*cone, dt) recurrence."""
+    from nersemble_tpu.ops.sampling import cone_march_ts
+
+    dt, cone = 0.05, 0.08
+    for t_near in (0.0, 0.2, 1.5):  # linear phase, mixed, pure geometric
+        ts_oracle, t = [], t_near
+        for _ in range(24):
+            ts_oracle.append(t)
+            t += max(t * cone, dt)
+        ts_oracle.append(t)
+        ts = cone_march_ts(jnp.array([t_near]),
+                           jnp.arange(25, dtype=jnp.float32)[None, :], dt, cone)
+        np.testing.assert_allclose(np.asarray(ts[0]), ts_oracle,
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_march_rays_cone_angle_growing_steps():
+    aabb_min = jnp.zeros(3)
+    aabb_max = jnp.ones(3) * 8
+    o = jnp.array([[-0.5, 4.0, 4.0]])
+    d = jnp.array([[1.0, 0.0, 0.0]])
+    samples, info = march_rays(o, d, aabb_min, aabb_max, 0.05, 256, 128,
+                               cone_angle=0.1)
+    n = int(info["n_samples_per_ray"][0])
+    widths = np.asarray(samples.t_ends - samples.t_starts)[0][:n]
+    assert n < 128  # far fewer steps than 8.5/0.05 = 170 uniform
+    assert widths[0] == pytest.approx(0.05, abs=1e-6)  # near: dt_min
+    assert widths[-1] > 0.2  # far: grown
+    assert np.all(np.diff(widths) >= -1e-6)  # monotone non-decreasing
+    # intervals tile the ray exactly (t_end[i] == t_start[i+1])
+    t0 = np.asarray(samples.t_starts[0])[:n]
+    t1 = np.asarray(samples.t_ends[0])[:n]
+    np.testing.assert_allclose(t1[:-1], t0[1:], rtol=1e-5)
+
+
+def test_occupancy_lookup_multilevel_cascade():
+    """[L,G,G,G] cascade: finest containing level wins; coarse levels extend
+    coverage beyond the base box (level l = base box scaled by 2^l)."""
+    G = 4
+    aabb_min, aabb_max = jnp.zeros(3), jnp.ones(3) * 4  # level-1 box: [-2, 6]
+    binaries = jnp.zeros((2, G, G, G), bool)
+    binaries = binaries.at[1].set(True)           # coarse level all occupied
+    binaries = binaries.at[0, 0, 0, 0].set(True)  # fine level: one cell
+    pts = jnp.array([
+        [0.5, 0.5, 0.5],    # inside base, fine cell occupied -> True
+        [3.5, 3.5, 3.5],    # inside base, fine cell empty -> False (fine wins)
+        [-1.0, 0.0, 0.0],   # outside base, inside level 1 -> True
+        [-3.0, 0.0, 0.0],   # outside every level -> False
+    ])
+    occ = np.asarray(occupancy_lookup(binaries, pts, aabb_min, aabb_max))
+    assert occ.tolist() == [True, False, True, False]
+    # single-level [1,G,G,G] reduces to the [G,G,G] behavior
+    occ1 = np.asarray(occupancy_lookup(binaries[:1], pts, aabb_min, aabb_max))
+    occ3 = np.asarray(occupancy_lookup(binaries[0], pts, aabb_min, aabb_max))
+    assert occ1.tolist() == occ3.tolist()
+
+
 # ---------------------------------------------------------------------------
 # Occupancy grid updates
 # ---------------------------------------------------------------------------
