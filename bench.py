@@ -37,10 +37,15 @@ def main():
     from nersemble_tpu.models.nersemble import NeRSembleModel
 
     config = _flagship_model_config(tiny=False)
-    # benchmark at the paper's batch size with the steady-state sample budget
+    # benchmark at the paper's batch size with the steady-state sample budget.
+    # S=256 slots matches the reference train default (train_nersemble.py:84);
+    # with global compaction the evaluated-sample cost is set by the budget
+    # (R*S*fraction = 131,072), not by R*S, so the slot buffer is free to be
+    # deep enough that no valid sample is slot-dropped (the S=64 cap measurably
+    # starved center rays of surface samples — see PERF.md quality study).
     n_rays = 4096
-    config.sampling.max_samples_per_ray = 64
-    config.sampling.max_candidates_per_ray = 1024
+    assert config.sampling.max_samples_per_ray == 256
+    assert config.sampling.max_candidates_per_ray == 1024
     if args.fraction is not None:
         config.sampling.global_budget_fraction = args.fraction
     if args.chunk is not None:

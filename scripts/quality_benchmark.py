@@ -3,8 +3,9 @@ synthetic capture (VERDICT round-1 items 3 & 8).
 
 Generates a textured, non-rigidly deforming synthetic sequence in the
 reference on-disk layout (tests/synthetic_data.py), trains the same model
-configuration bench.py measures (S=64 slots, global budget fraction 0.5,
-chunk 2^16, 2^19-entry 32-table hash ensemble, SE(3) deformation), and
+configuration bench.py measures (S=256 slots, global budget 131,072 samples
+= fraction 0.125, chunk 2^16, 2^19-entry 32-table hash ensemble, SE(3)
+deformation), and
 records hold-out PSNR/SSIM curves plus the sample-drop diagnostics that
 justify the budget. Output: QUALITY_r2.json at the repo root (+ prints a
 summary table).
@@ -54,9 +55,9 @@ def run(mode: str, steps: int, data_root: str, models_root: str,
         "--steps-per-eval-batch", "0",
         "--steps-per-eval-all-images", str(eval_every),
         "--n-train-rays", "4096",
-        "--max-samples-per-ray", "64",
+        "--max-samples-per-ray", "256",
         "--max-candidates-per-ray", "-1",  # auto-span
-        "--global-budget-fraction", "0.5",
+        "--global-budget-fraction", "0.125",
     ]
     # depth-band anneal compressed to the run length (reference: 10k of 300k)
     args += ["--eps-depth-end-step", str(max(steps // 3, 1))]
