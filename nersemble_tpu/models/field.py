@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from nersemble_tpu.config import ModelConfig
 from nersemble_tpu.ops.hash_encoding import (
     HashGridLevels,
-    build_pair_table,
+    build_quad_table,
     hash_encode,
     hash_encode_blended,
     init_hash_table,
@@ -98,13 +98,13 @@ def prepare_field(field_params, config: ModelConfig, levels: HashGridLevels):
     """Per-step table preparation, hoisted OUT of the sample-chunk loop.
 
     Builds the z-paired gather operand [E, 2W] (see
-    hash_encoding.build_pair_table) once per train/render step in the
+    hash_encoding.build_quad_table) once per train/render step in the
     table compute dtype (bf16 by default — tcnn runs its hash grids in fp16,
     reference: environment.yml tiny-cuda-nn). Differentiable: gradients fold
     back onto the canonical [E, W] f32 table.
     """
     prepared = dict(field_params)
-    prepared["table_pair"] = build_pair_table(
+    prepared["table_quad"] = build_quad_table(
         field_params["table"], levels, dtype=jnp.dtype(config.table_dtype))
     return prepared
 
@@ -118,7 +118,7 @@ def field_density(params, positions_world: jnp.ndarray,
     """[N, 3] world positions -> (density [N] f32, geo features [N, G]).
 
     ``params`` must be the output of :func:`prepare_field` (holds the
-    z-paired gather operand ``table_pair``). Positions outside the (0,1)^3
+    xz-quad gather operand ``table_quad``). Positions outside the (0,1)^3
     normalized cube are zeroed before encoding and their density is zeroed
     after activation (reference: nersemble_nerfacto_field.py:266-293).
     """
@@ -134,11 +134,11 @@ def field_density(params, positions_world: jnp.ndarray,
         code = effective_blend_code(
             time_codes, window_hash, he.n_hash_encodings,
             he.disable_initial_hash_ensemble, he.use_soft_transition)
-        base_in = hash_encode_blended(params["table_pair"], norm, code, levels,
+        base_in = hash_encode_blended(params["table_quad"], norm, code, levels,
                                       features_per_logical=f_l,
                                       smoothstep=smoothstep)
     else:
-        base_in = hash_encode(params["table_pair"], norm, levels,
+        base_in = hash_encode(params["table_quad"], norm, levels,
                               smoothstep=smoothstep)
 
     if config.use_fused_mlp:

@@ -1,4 +1,4 @@
-"""Multiresolution hash-grid encoding — TPU-native (z-paired row gathers).
+"""Multiresolution hash-grid encoding — TPU-native (xz-quad row gathers).
 
 Replaces tcnn's CUDA HashGrid encoding (reference: hash_ensemble.py:41-52,
 nersemble_nerfacto_field.py:127-140). Same structure as Instant-NGP:
@@ -11,22 +11,24 @@ nersemble_nerfacto_field.py:127-140). Same structure as Instant-NGP:
 TPU performance design (measured on v5e; history in PERF.md):
 
 1. **Row gathers, not element gathers.** XLA's TPU gather/scatter are per-row
-   overhead bound (~tens of millions of rows/s regardless of row width), so
-   the number of rows is THE cost. All H logical tables of the ensemble share
-   indices, so the whole ensemble is ONE array whose row packs every logical
-   table's features (W = H * F_l).
-2. **Z-paired rows** (this file's core trick): the index layout is chosen so
-   that the z+1 neighbor of any vertex is a FIXED per-level stride away
-   (dense levels: z is the fastest axis, stride 1; hashed levels: an additive
-   z term, ``idx = (x*p0 ^ y*p1) + z*p2 mod 2^M``, stride p2 mod 2^M — unlike
-   tcnn's pure-XOR hash, whose z neighbor is data-dependent). The per-step
-   ``build_pair_table`` then packs each entry's own features and its
-   z-neighbor's features into one [E, 2W] row (cheap per-level jnp.roll, pure
-   contiguous copies), so ONE gathered row serves BOTH z corners of a cell:
-   4 gathered rows per (sample, level) instead of 8 — and the backward
-   scatter-add rows halve too. For the flagship ensemble (W = 64) the paired
-   width 2W = 128 exactly fills the scatter/gather fast-path tile that round 1
-   used to fill with dead zero padding.
+   overhead bound (~tens of millions of rows/s regardless of row width up to
+   at least 512-byte rows), so the number of rows is THE cost. All H logical
+   tables of the ensemble share indices, so the whole ensemble is ONE array
+   whose row packs every logical table's features (W = H * F_l).
+2. **XZ-quad rows** (this file's core trick): the index layout is chosen so
+   that BOTH the x+1 and the z+1 neighbor of any vertex are a FIXED per-level
+   stride away (dense levels: ``idx = y + SX*x + SZ*z`` with 8-aligned SX,
+   SZ; hashed levels: an additive hash ``idx = (y*p1 + x*SX + z*SZ) mod 2^M``
+   — unlike tcnn's pure-XOR hash, whose neighbors are data-dependent). The
+   per-step ``build_quad_table`` packs each entry's own features and those of
+   its x-, z- and xz-successors into one [E, 4W] row (cheap tile-aligned
+   per-level ``jnp.roll``s, pure contiguous copies), so ONE gathered row
+   serves FOUR corners of a cell: 2 gathered rows per (sample, level) — the
+   two y corners — instead of the naive 8, and the backward scatter-add rows
+   shrink 4x too. Gather/scatter BYTES are unchanged (same total features
+   moved); only the per-row overhead count drops. For the flagship ensemble
+   (W = 64) the quad width 4W = 256 bf16 = 512 B/row stays on the measured
+   fast path.
 3. **Tile-layout discipline.** All materialized tensors are 1-D/2-D with a
    large minor dim; corner/table reductions run as matmuls against constant
    0/1 selection matrices on the MXU (built on device from iota comparisons),
@@ -34,21 +36,25 @@ TPU performance design (measured on v5e; history in PERF.md):
    reference (hash_ensemble.py:112-156) is never materialized.
 4. **Custom VJP** saving only small blend residuals — backward needs NO
    re-gather, and the table gradient rows are built analytically and
-   scattered once.
-5. **bf16 pair table**: the gathered operand is bf16 (halves gather traffic
-   and the pair-table copy); gradients and master params stay f32. The
-   reference runs tcnn hash grids in fp16 — same precision class.
+   scattered once (into the quad layout; autodiff through the differentiable
+   quad build folds the three successor quarters back onto the canonical
+   entries with inverse rolls).
+5. **bf16 quad table**: the gathered operand is bf16 (halves gather traffic
+   and the quad-table copy); master params stay f32. The scatter-add
+   accumulates in the quad table's dtype (bf16 in production — same
+   precision class as tcnn's fp16 atomic grid-gradient accumulation).
 6. **Tensor parallelism** = shard the canonical table's FEATURE axis
-   [E, W] -> [E, W/devices]; the pair build concatenates along that same
+   [E, W] -> [E, W/devices]; the quad build concatenates along that same
    axis and GSPMD turns the blend matmul's contraction into an all-reduce
    (SURVEY.md section 2c).
 
-Boundary semantics note: at the far z edge of a level (z_floor == res-1,
-possible only in the outermost half-cell of the unit cube) the paired row's
-"hi" half belongs to a wrapped vertex rather than tcnn's clamped duplicate.
-The blend weight of that corner is continuous through 0 at the cell boundary,
-so the encoding stays continuous; the outermost half-cell simply trains a
-different (still dedicated) parameter than under clamping.
+Boundary semantics note: at the far x or z edge of a level (floor == res-1,
+possible only in the outermost half-cell of the unit cube) the quad row's
+successor quarters belong to a wrapped vertex rather than tcnn's clamped
+duplicate (dense levels: the x wrap aliases the (0, z+1) column's entry).
+The blend weight of such a corner is continuous through the cell boundary,
+so the encoding stays continuous; the outermost half-cell simply trains
+against a different (possibly shared) parameter than under clamping.
 """
 
 import functools
@@ -59,9 +65,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_PRIMES = (np.uint32(1), np.uint32(2654435761), np.uint32(805459861))
-# xy corner order: bit 0 of the corner id selects +1 along x, bit 1 along y
-_XY_CORNERS = ((0, 0), (1, 0), (0, 1), (1, 1))
+_PRIMES = (np.uint32(2654435761), np.uint32(805459861), np.uint32(3674653429))
+# quarter order within a quad row: q = 2 * xbit + zbit
+# (q0 = (x,z), q1 = (x,z+1), q2 = (x+1,z), q3 = (x+1,z+1))
+_N_QUARTERS = 4
 
 
 @dataclass(frozen=True)
@@ -76,47 +83,51 @@ class HashGridLevels:
     offsets: Tuple[int, ...]
     total_entries: int
     log2_hashmap_size: int
+    x_strides: Tuple[int, ...]
     z_strides: Tuple[int, ...]
 
     @staticmethod
     def create(n_levels: int = 16, log2_hashmap_size: int = 19,
                base_resolution: int = 16,
                per_level_scale: float = 1.4472692012786865) -> "HashGridLevels":
-        """Every segment size, offset, and z-stride is a multiple of 8 rows
-        (one f32 sublane tile) so the per-level rolls of build_pair_table are
+        """Every segment size, offset, and x/z-stride is a multiple of 8 rows
+        (one f32 sublane tile) so the per-level rolls of build_quad_table are
         tile-aligned contiguous copies — measured 211 ms -> ~10 ms on v5e for
         the flagship table when alignment was added."""
         max_size = 2 ** log2_hashmap_size
         mask = max_size - 1
-        scales, resolutions, sizes, hashed, offsets, strides = \
-            [], [], [], [], [], []
+        scales, resolutions, sizes, hashed, offsets = [], [], [], [], []
+        sxs, szs = [], []
         offset = 0
         for l in range(n_levels):
             scale = base_resolution * per_level_scale ** l
             res = int(np.ceil(scale)) + 1
-            # dense layout idx = x + res*y + P*z with the z plane padded to a
-            # sublane multiple (so the z-stride P is 8-aligned)
-            plane = -(-res * res // 8) * 8
-            dense_size = res * plane
+            # dense layout idx = y + SX*x + SZ*z with the x column padded to
+            # a sublane multiple (so both successor strides are 8-aligned)
+            sx = -(-res // 8) * 8
+            sz = sx * res
+            dense_size = sz * res
             if dense_size <= max_size:
-                size, is_hashed, stride = dense_size, False, plane
+                size, is_hashed = dense_size, False
             else:
                 size, is_hashed = max_size, True
-                # 8-aligned additive-z hash stride: low 3 bits of the bucket
-                # come from the xy hash only; collision structure between
-                # distinct (x, y, z) vertices is unchanged (z-only pairs
-                # collide iff dz * stride == 0 mod 2^M, i.e. never in-range)
-                stride = (int(_PRIMES[2]) & mask) & ~7
+                # 8-aligned additive strides: the low 3 bits of the bucket
+                # come from the y hash only; x-only / z-only neighbor pairs
+                # never collide in-range (dx * sx != 0 mod 2^M for dx < res)
+                sx = (int(_PRIMES[1]) & mask) & ~7
+                sz = (int(_PRIMES[2]) & mask) & ~7
             scales.append(float(scale))
             resolutions.append(res)
             sizes.append(size)
             hashed.append(is_hashed)
             offsets.append(offset)
-            strides.append(stride)
+            sxs.append(sx)
+            szs.append(sz)
             offset += size
         return HashGridLevels(n_levels, tuple(scales), tuple(resolutions),
                               tuple(sizes), tuple(hashed), tuple(offsets),
-                              offset, log2_hashmap_size, tuple(strides))
+                              offset, log2_hashmap_size, tuple(sxs),
+                              tuple(szs))
 
 
 def init_hash_table(rng, levels: HashGridLevels, row_width: int,
@@ -130,35 +141,48 @@ def init_hash_table(rng, levels: HashGridLevels, row_width: int,
                               -init_scale, init_scale)
 
 
-def build_pair_table(table: jnp.ndarray, levels: HashGridLevels,
-                     dtype=jnp.bfloat16) -> jnp.ndarray:
-    """[E, W] canonical -> [E, 2W] z-paired gather operand.
-
-    Row e = [features(vertex e) | features(z-successor of e)]; the successor
-    is ``(e - off_l + stride_l) % size_l + off_l`` — a per-level cyclic roll,
-    i.e. pure contiguous copies (HBM-bandwidth bound, ~ms for the flagship
-    table). Differentiable: the transpose folds the "hi" gradient half back
-    onto the canonical entries with the inverse rolls.
-    """
+def _roll_levels(table: jnp.ndarray, levels: HashGridLevels,
+                 strides: Tuple[int, ...]) -> jnp.ndarray:
+    """Per-level cyclic roll by -stride rows (pure contiguous copies)."""
     segs = []
     for l in range(levels.n_levels):
         seg = jax.lax.slice_in_dim(table, levels.offsets[l],
                                    levels.offsets[l] + levels.sizes[l], axis=0)
-        stride = levels.z_strides[l] % levels.sizes[l]
-        segs.append(jnp.roll(seg, -stride, axis=0))
-    succ = jnp.concatenate(segs, axis=0)
-    return jnp.concatenate([table, succ], axis=1).astype(dtype)
+        segs.append(jnp.roll(seg, -(strides[l] % levels.sizes[l]), axis=0))
+    return jnp.concatenate(segs, axis=0)
+
+
+def build_quad_table(table: jnp.ndarray, levels: HashGridLevels,
+                     dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[E, W] canonical -> [E, 4W] xz-quad gather operand.
+
+    Row e = [feat(e) | feat(z-succ) | feat(x-succ) | feat(xz-succ)]; each
+    successor is ``(e - off_l + stride_l) % size_l + off_l`` — per-level
+    cyclic rolls, i.e. pure contiguous copies (HBM-bandwidth bound, ~ms for
+    the flagship table). Differentiable: the transpose folds the successor
+    gradient quarters back onto the canonical entries with inverse rolls.
+    """
+    table = table.astype(dtype)  # cast FIRST: rolls move half the bytes
+    # ONE concat of four rolled copies (no [E, 2W] pair intermediate — that
+    # extra 1.5 GB materialization OOMed the flagship step on a 16 GB chip)
+    xz = tuple(sx + sz for sx, sz in zip(levels.x_strides, levels.z_strides))
+    return jnp.concatenate(
+        [table,
+         _roll_levels(table, levels, levels.z_strides),
+         _roll_levels(table, levels, levels.x_strides),
+         _roll_levels(table, levels, xz)], axis=1)
 
 
 def hash_grid_indices(x: jnp.ndarray, levels: HashGridLevels,
                       smoothstep: bool = False):
     """Corner indices and interpolation weights for [N, 3] positions in [0,1].
 
-    Returns (entry_idx [N, 4L] int32, wxy [N, 4L] f32, fz [N, L] f32) in
-    CORNER-MAJOR column order: column c * L + l is xy-corner c of level l.
-    ``wxy`` are the bilinear xy weights, ``fz`` the z interpolation fraction;
-    both are differentiable w.r.t. ``x`` — that is how gradients reach the
-    deformation field through the encoding.
+    Returns (entry_idx [N, 2L] int32, wy [N, 2L] f32, fx [N, L] f32,
+    fz [N, L] f32) in CORNER-MAJOR column order: column c * L + l is y-corner
+    c of level l. ``wy`` are the linear y weights; ``fx``/``fz`` the x/z
+    interpolation fractions resolved inside the quad row. All are
+    differentiable w.r.t. ``x`` — that is how gradients reach the deformation
+    field through the encoding.
 
     All math is done on [N] columns and stacked once, so no intermediate has
     a tiny minor dimension (TPU tile-padding safety).
@@ -166,9 +190,9 @@ def hash_grid_indices(x: jnp.ndarray, levels: HashGridLevels,
     px_all = [x[:, 0], x[:, 1], x[:, 2]]
     mask = np.uint32(2 ** levels.log2_hashmap_size - 1)
 
-    idx_cols = [[] for _ in _XY_CORNERS]
-    w_cols = [[] for _ in _XY_CORNERS]
-    fz_cols = []
+    idx_cols = [[], []]
+    w_cols = [[], []]
+    fx_cols, fz_cols = [], []
     for l in range(levels.n_levels):
         scale = levels.scales[l]
         res = levels.resolutions[l]
@@ -181,34 +205,34 @@ def hash_grid_indices(x: jnp.ndarray, levels: HashGridLevels,
                 f = f * f * (3.0 - 2.0 * f)
             grid.append(g.astype(jnp.int32))
             frac.append(f)
+        cx = jnp.clip(grid[0], 0, res - 1)
         cz = jnp.clip(grid[2], 0, res - 1)
+        fx_cols.append(frac[0])
         fz_cols.append(frac[2])
-        for c, (ci, cj) in enumerate(_XY_CORNERS):
-            cx = jnp.clip(grid[0] + ci, 0, res - 1)
-            cy = jnp.clip(grid[1] + cj, 0, res - 1)
-            stride = np.uint32(levels.z_strides[l])
+        for c in (0, 1):
+            cy = jnp.clip(grid[1] + c, 0, res - 1)
             if levels.hashed[l]:
-                h = ((cx.astype(jnp.uint32) * _PRIMES[0]
-                      ^ cy.astype(jnp.uint32) * _PRIMES[1])
-                     + cz.astype(jnp.uint32) * stride)
+                h = (cy.astype(jnp.uint32) * _PRIMES[0]
+                     + cx.astype(jnp.uint32) * np.uint32(levels.x_strides[l])
+                     + cz.astype(jnp.uint32) * np.uint32(levels.z_strides[l]))
                 idx = (h & mask).astype(jnp.int32)
             else:
-                idx = cx + res * cy + levels.z_strides[l] * cz
+                idx = cy + levels.x_strides[l] * cx + levels.z_strides[l] * cz
             idx_cols[c].append(idx + levels.offsets[l])
-            w_cols[c].append((frac[0] if ci else 1.0 - frac[0])
-                             * (frac[1] if cj else 1.0 - frac[1]))
+            w_cols[c].append(frac[1] if c else 1.0 - frac[1])
     flat_idx = [col for group in idx_cols for col in group]
     flat_w = [col for group in w_cols for col in group]
     entry_idx = jnp.stack(flat_idx, axis=1)
-    wxy = jnp.stack(flat_w, axis=1)
+    wy = jnp.stack(flat_w, axis=1)
+    fx = jnp.stack(fx_cols, axis=1)
     fz = jnp.stack(fz_cols, axis=1)
-    return entry_idx, wxy, fz
+    return entry_idx, wy, fx, fz
 
 
 def _gather_rows(table: jnp.ndarray, entry_idx: jnp.ndarray) -> jnp.ndarray:
-    """[E, W2] x [N, K] -> [N, K*W2] flat gathered rows (ONE row gather)."""
+    """[E, W4] x [N, K] -> [N, K*W4] flat gathered rows (ONE row gather)."""
     n, k = entry_idx.shape
-    rows = jnp.take(table, entry_idx.reshape(-1), axis=0)  # [N*K, W2]
+    rows = jnp.take(table, entry_idx.reshape(-1), axis=0)  # [N*K, W4]
     return rows.reshape(n, k * table.shape[1])
 
 
@@ -216,13 +240,22 @@ def _gather_rows(table: jnp.ndarray, entry_idx: jnp.ndarray) -> jnp.ndarray:
 # column-pattern expansion helpers (2-D/clean-3-D only; see docstring point 3)
 # --------------------------------------------------------------------------
 
-def _z_weights(fz: jnp.ndarray, width: int, tile: int) -> jnp.ndarray:
-    """fz [N, L] -> [N, tile * L * 2 * width] with per-level pattern
-    [(1 - fz_l) * width, fz_l * width], tiled ``tile`` times (corner-major)."""
-    n, L = fz.shape
-    s = jnp.stack([1.0 - fz, fz], axis=2).reshape(n, 2 * L)
-    s = jnp.repeat(s, width, axis=1)  # [N, L * 2 * width]
+def _quarter_pattern(cols, width: int, tile: int) -> jnp.ndarray:
+    """4 per-level [N, L] columns -> [N, tile * L * 4 * width] with per-level
+    pattern [q0 * width, q1 * width, q2 * width, q3 * width], tiled ``tile``
+    times (corner-major)."""
+    s = jnp.stack(cols, axis=2)  # [N, L, 4]
+    n, L, _ = s.shape
+    s = s.reshape(n, 4 * L)
+    s = jnp.repeat(s, width, axis=1)  # [N, L * 4 * width]
     return jnp.tile(s, (1, tile)) if tile > 1 else s
+
+
+def _quad_weights(fx: jnp.ndarray, fz: jnp.ndarray, width: int,
+                  tile: int) -> jnp.ndarray:
+    """Quarter interpolation weights u_q = wx * wz in quarter order."""
+    gx, gz = 1.0 - fx, 1.0 - fz
+    return _quarter_pattern([gx * gz, gx * fz, fx * gz, fx * fz], width, tile)
 
 
 def _expand_gbar(gbar: jnp.ndarray, Fl: int, width: int, tile: int):
@@ -235,10 +268,10 @@ def _expand_gbar(gbar: jnp.ndarray, Fl: int, width: int, tile: int):
 
 
 def _code_columns(code: jnp.ndarray, Fl: int, tile: int) -> jnp.ndarray:
-    """code [N, H] -> [N, tile * 2 * H * Fl]: the per-column logical-table
-    multiplier over one paired row [lo | hi], tiled corner-major."""
+    """code [N, H] -> [N, tile * 4 * H * Fl]: the per-column logical-table
+    multiplier over one quad row [q0 | q1 | q2 | q3], tiled corner-major."""
     c = jnp.repeat(code, Fl, axis=1)  # [N, W]
-    c = jnp.tile(c, (1, 2))  # [N, W2]
+    c = jnp.tile(c, (1, _N_QUARTERS))  # [N, W4]
     return jnp.tile(c, (1, tile)) if tile > 1 else c
 
 
@@ -250,7 +283,7 @@ def _sel(cond, dtype=jnp.float32):
     return cond.astype(dtype)
 
 
-def _sum_corners(x: jnp.ndarray, n_corners: int = 4) -> jnp.ndarray:
+def _sum_corners(x: jnp.ndarray, n_corners: int = 2) -> jnp.ndarray:
     """[N, C*B] corner-major -> [N, B] by summing the C contiguous blocks
     (pure aligned slice-adds on the VPU — no reshape, no tile padding)."""
     b = x.shape[1] // n_corners
@@ -264,43 +297,46 @@ def _sum_corners(x: jnp.ndarray, n_corners: int = 4) -> jnp.ndarray:
 # plain encode (single-grid field) — autodiff backward
 # --------------------------------------------------------------------------
 
-def hash_encode(pair_table: jnp.ndarray, x: jnp.ndarray,
+def hash_encode(quad_table: jnp.ndarray, x: jnp.ndarray,
                 levels: HashGridLevels, smoothstep: bool = False) -> jnp.ndarray:
-    """Plain encode: pair table [E, 2W], x [N, 3] -> [N, L * W].
+    """Plain encode: quad table [E, 4W], x [N, 3] -> [N, L * W].
 
     Output layout is level-major [L, W] flattened; for a single-grid field
     (W = features_per_level) this is exactly the tcnn layout.
     """
-    W2 = pair_table.shape[1]
-    W = W2 // 2
+    W4 = quad_table.shape[1]
+    W = W4 // _N_QUARTERS
     L = levels.n_levels
-    entry_idx, wxy, fz = hash_grid_indices(x, levels, smoothstep)
+    entry_idx, wy, fx, fz = hash_grid_indices(x, levels, smoothstep)
     n = x.shape[0]
 
     @jax.checkpoint
-    def body(pair_table, entry_idx, wxy, fz):
-        rows = _gather_rows(pair_table, entry_idx).astype(jnp.float32)
-        w_rep = jnp.repeat(wxy, W2, axis=1)
-        zw = _z_weights(fz, W, tile=4)
-        per_level = _sum_corners(rows * w_rep * zw)  # [N, L*W2]
-        # fold the z pair: lo half + hi half per level
-        per_level = per_level.reshape(n, L, W2)
-        return (per_level[:, :, :W] + per_level[:, :, W:]).reshape(n, L * W)
+    def body(quad_table, entry_idx, wy, fx, fz):
+        rows = _gather_rows(quad_table, entry_idx).astype(jnp.float32)
+        w_rep = jnp.repeat(wy, W4, axis=1)
+        uw = _quad_weights(fx, fz, W, tile=2)
+        per_level = _sum_corners(rows * w_rep * uw)  # [N, L*W4]
+        # fold the 4 quarters per level
+        per_level = per_level.reshape(n, L, W4)
+        out = per_level[:, :, :W]
+        for q in range(1, _N_QUARTERS):
+            out = out + per_level[:, :, q * W:(q + 1) * W]
+        return out.reshape(n, L * W)
 
-    return body(pair_table, entry_idx, wxy, fz)
+    return body(quad_table, entry_idx, wy, fx, fz)
 
 
 # --------------------------------------------------------------------------
 # blended encode (hash ensemble) — custom VJP, no backward re-gather
 # --------------------------------------------------------------------------
 
-def hash_encode_blended(pair_table: jnp.ndarray, x: jnp.ndarray,
+def hash_encode_blended(quad_table: jnp.ndarray, x: jnp.ndarray,
                         code: jnp.ndarray, levels: HashGridLevels,
                         features_per_logical: int = 2,
                         smoothstep: bool = False) -> jnp.ndarray:
     """Ensemble encode + per-sample blend: -> [N, L * features_per_logical].
 
-    ``pair_table`` is [E, 2W] with W = H * F_l (H logical tables packed per
+    ``quad_table`` is [E, 4W] with W = H * F_l (H logical tables packed per
     row); ``code`` is [N, H] of already-windowed blend weights. Matches the
     reference's rearrange + einsum (hash_ensemble.py:112, 156):
 
@@ -309,151 +345,157 @@ def hash_encode_blended(pair_table: jnp.ndarray, x: jnp.ndarray,
 
     Custom VJP: the backward pass needs NO re-gather. The forward saves two
     blend residuals —
-        CG[n, (c,l), half, f] = sum_h code_h * rows      (code-blended halves)
-        B [n, l, k]           = sum_c wxy * zw * rows    (weight-blended rows)
+        CG[n, (c,l), q, f] = sum_h code_h * rows          (code-blended quarters)
+        B [n, l, k]        = sum_c wy * u_q(k) * rows     (weight-blended rows)
     — from which every gradient follows analytically:
-        d rows[(c,l), k] = wxy * zw_k * code_h(k) * gbar[l, f(k)]  (scatter)
-        d wxy[(c,l)]     = sum_f gbar[l,f] * ((1-fz) CG_lo + fz CG_hi)
-        d fz[l]          = sum_{c,f} wxy * gbar[l,f] * (CG_hi - CG_lo)
+        d rows[(c,l), k] = wy * u_q(k) * code_h(k) * gbar[l, f(k)]  (scatter)
+        d wy[(c,l)]      = sum_{q,f} u_q * CG * gbar
+        d fx[l]          = sum_{c,q,f} wy * CG * gbar * sx_q * wz_q
+        d fz[l]          = sum_{c,q,f} wy * CG * gbar * wx_q * sz_q
         d code[h]        = sum_{l,k: h(k)=h} gbar[l, f(k)] * B[l, k]
+    with sx = (-,-,+,+), sz = (-,+,-,+) the quarter sign patterns.
     """
-    entry_idx, wxy, fz = hash_grid_indices(x, levels, smoothstep)
-    return _blended_core(pair_table, code.astype(jnp.float32), entry_idx,
-                         wxy, fz, levels.n_levels, features_per_logical)
+    entry_idx, wy, fx, fz = hash_grid_indices(x, levels, smoothstep)
+    return _blended_core(quad_table, code.astype(jnp.float32), entry_idx,
+                         wy, fx, fz, levels.n_levels, features_per_logical)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _blended_core(pair_table, code, entry_idx, wxy, fz, L, Fl):
-    out, _ = _blended_fwd_impl(pair_table, code, entry_idx, wxy, fz, L, Fl)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _blended_core(quad_table, code, entry_idx, wy, fx, fz, L, Fl):
+    out, _ = _blended_fwd_impl(quad_table, code, entry_idx, wy, fx, fz, L, Fl)
     return out
 
 
-def _s_cg(L, W2, Fl, dtype):
-    """[4L*W2, 4L*2Fl] 0/1: column j = (cl)*W2 + k maps to
-    m = (cl)*2Fl + (k // W)*Fl + (k % W) % Fl (sum over logical tables h)."""
-    W = W2 // 2
-    j = _iota2((4 * L * W2, 4 * L * 2 * Fl), 0)
-    m = _iota2((4 * L * W2, 4 * L * 2 * Fl), 1)
-    k = j % W2
-    return _sel((j // W2 == m // (2 * Fl))
-                & (k // W == (m % (2 * Fl)) // Fl)
+def _s_cg(L, W4, Fl, dtype):
+    """[2L*W4, 2L*4Fl] 0/1: column j = (cl)*W4 + k maps to
+    m = (cl)*4Fl + (k // W)*Fl + (k % W) % Fl (sum over logical tables h)."""
+    W = W4 // _N_QUARTERS
+    j = _iota2((2 * L * W4, 2 * L * 4 * Fl), 0)
+    m = _iota2((2 * L * W4, 2 * L * 4 * Fl), 1)
+    k = j % W4
+    return _sel((j // W4 == m // (4 * Fl))
+                & (k // W == (m % (4 * Fl)) // Fl)
                 & ((k % W) % Fl == m % Fl), dtype)
 
 
-def _s_half(L, Fl):
-    """[4L*2Fl, 4L*Fl] 0/1: sum the lo/hi halves per (corner, level, f)."""
-    j = _iota2((4 * L * 2 * Fl, 4 * L * Fl), 0)
-    m = _iota2((4 * L * 2 * Fl, 4 * L * Fl), 1)
-    return _sel((j // (2 * Fl) == m // Fl) & (j % Fl == m % Fl))
+def _s_quarter(L, Fl):
+    """[2L*4Fl, 2L*Fl] 0/1: sum the 4 quarters per (corner, level, f)."""
+    j = _iota2((2 * L * 4 * Fl, 2 * L * Fl), 0)
+    m = _iota2((2 * L * 4 * Fl, 2 * L * Fl), 1)
+    return _sel((j // (4 * Fl) == m // Fl) & (j % Fl == m % Fl))
 
 
-def _blended_fwd_impl(pair_table, code, entry_idx, wxy, fz, L, Fl):
-    W2 = pair_table.shape[1]
-    W = W2 // 2
+def _blended_fwd_impl(quad_table, code, entry_idx, wy, fx, fz, L, Fl):
+    W4 = quad_table.shape[1]
+    W = W4 // _N_QUARTERS
     n = code.shape[0]
 
-    rows = _gather_rows(pair_table, entry_idx)  # [N, 4L*W2] (bf16 usually)
-    # blend matmuls run in the pair table's dtype (bf16 in production,
+    rows = _gather_rows(quad_table, entry_idx)  # [N, 2L*W4] (bf16 usually)
+    # blend matmuls run in the quad table's dtype (bf16 in production,
     # f32 in exactness tests), always accumulating f32 on the MXU
     mm_dtype = rows.dtype
-    code_rep = _code_columns(code, Fl, tile=4 * L)
-    # CG[n, (cl)*2Fl + half*Fl + f] = sum_h code * rows
+    code_rep = _code_columns(code, Fl, tile=2 * L)
+    # CG[n, (cl)*4Fl + q*Fl + f] = sum_h code * rows
     cg_in = rows * code_rep.astype(mm_dtype)
-    CG = jnp.dot(cg_in, _s_cg(L, W2, Fl, mm_dtype),
-                 preferred_element_type=jnp.float32)  # [N, 4L*2Fl]
+    CG = jnp.dot(cg_in, _s_cg(L, W4, Fl, mm_dtype),
+                 preferred_element_type=jnp.float32)  # [N, 2L*4Fl]
 
-    zw_fl = _z_weights(fz, Fl, tile=4)  # [N, 4L*2Fl]
-    G = jnp.dot(CG * zw_fl, _s_half(L, Fl),
-                preferred_element_type=jnp.float32)  # [N, 4L*Fl]
-    w_fl = jnp.repeat(wxy, Fl, axis=1)  # [N, 4L*Fl]
+    uw_fl = _quad_weights(fx, fz, Fl, tile=2)  # [N, 2L*4Fl]
+    G = jnp.dot(CG * uw_fl, _s_quarter(L, Fl),
+                preferred_element_type=jnp.float32)  # [N, 2L*Fl]
+    w_fl = jnp.repeat(wy, Fl, axis=1)  # [N, 2L*Fl]
     out = _sum_corners(G * w_fl)  # [N, L*Fl]
 
-    # B[n, l*W2 + k] = sum_c wxy * zw * rows (for d_code); stored in the
+    # B[n, l*W4 + k] = sum_c wy * u_q * rows (for d_code); stored in the
     # table dtype (bf16 residual in production)
-    w_rep = jnp.repeat(wxy, W2, axis=1)
-    zw_full = _z_weights(fz, W, tile=4)
-    B = _sum_corners(rows.astype(jnp.float32) * w_rep * zw_full)
+    w_rep = jnp.repeat(wy, W4, axis=1)
+    uw_full = _quad_weights(fx, fz, W, tile=2)
+    B = _sum_corners(rows.astype(jnp.float32) * w_rep * uw_full)
     return out, (CG, B.astype(mm_dtype))
 
 
-def _blended_vjp_fwd(pair_table, code, entry_idx, wxy, fz, L, Fl):
-    out, (CG, B) = _blended_fwd_impl(pair_table, code, entry_idx, wxy, fz,
+def _blended_vjp_fwd(quad_table, code, entry_idx, wy, fx, fz, L, Fl):
+    out, (CG, B) = _blended_fwd_impl(quad_table, code, entry_idx, wy, fx, fz,
                                      L, Fl)
-    return out, (CG, B, code, entry_idx, wxy, fz, pair_table.shape)
+    return out, (CG, B, code, entry_idx, wy, fx, fz, quad_table.shape)
 
 
 def _blended_vjp_bwd(L, Fl, residuals, gbar):
-    CG, B, code, entry_idx, wxy, fz, table_shape = residuals
-    E, W2 = table_shape
-    W = W2 // 2
+    CG, B, code, entry_idx, wy, fx, fz, table_shape = residuals
+    E, W4 = table_shape
+    W = W4 // _N_QUARTERS
     n = code.shape[0]
     H = code.shape[1]
     gbar = gbar.astype(jnp.float32)  # [N, L*Fl]
 
-    g_half = _expand_gbar(gbar, Fl, 2 * Fl, tile=4)  # [N, 4L*2Fl]
-    zw_fl = _z_weights(fz, Fl, tile=4)
+    g_q = _expand_gbar(gbar, Fl, 4 * Fl, tile=2)  # [N, 2L*4Fl]
+    uw_fl = _quad_weights(fx, fz, Fl, tile=2)
 
-    # d wxy: sum over (half, f) of CG * zw * gbar -> [N, 4L]
-    j = _iota2((4 * L * 2 * Fl, 4 * L), 0)
-    m = _iota2((4 * L * 2 * Fl, 4 * L), 1)
-    s_w = _sel(j // (2 * Fl) == m)
-    d_wxy = jnp.dot(CG * zw_fl * g_half, s_w,
-                    preferred_element_type=jnp.float32)
+    # d wy: sum over (quarter, f) of CG * u * gbar -> [N, 2L]
+    j = _iota2((2 * L * 4 * Fl, 2 * L), 0)
+    m = _iota2((2 * L * 4 * Fl, 2 * L), 1)
+    s_w = _sel(j // (4 * Fl) == m)
+    d_wy = jnp.dot(CG * uw_fl * g_q, s_w, preferred_element_type=jnp.float32)
 
-    # d fz: signed sum over (c, half, f) of wxy * CG * gbar -> [N, L]
-    w_2fl = jnp.repeat(wxy, 2 * Fl, axis=1)  # [N, 4L*2Fl]
-    j = _iota2((4 * L * 2 * Fl, L), 0)
-    m = _iota2((4 * L * 2 * Fl, L), 1)
-    sign = jnp.where((j % (2 * Fl)) // Fl == 1, 1.0, -1.0)
-    s_fz = _sel((j // (2 * Fl)) % L == m) * sign
-    d_fz = jnp.dot(CG * w_2fl * g_half, s_fz,
-                   preferred_element_type=jnp.float32)
+    # d fx / d fz: signed quarter patterns, summed over (c, q, f) -> [N, L]
+    w_4fl = jnp.repeat(wy, 4 * Fl, axis=1)  # [N, 2L*4Fl]
+    core = CG * w_4fl * g_q
+    gx, gz = 1.0 - fx, 1.0 - fz
+    # du/dfx = sx_q * wz_q with sx = (-,-,+,+); du/dfz = wx_q * sz_q, sz=(-,+,-,+)
+    pat_fx = _quarter_pattern([-gz, -fz, gz, fz], Fl, tile=2)
+    pat_fz = _quarter_pattern([-gx, gx, -fx, fx], Fl, tile=2)
+    j = _iota2((2 * L * 4 * Fl, L), 0)
+    m = _iota2((2 * L * 4 * Fl, L), 1)
+    s_lvl = _sel((j // (4 * Fl)) % L == m)
+    d_fx = jnp.dot(core * pat_fx, s_lvl, preferred_element_type=jnp.float32)
+    d_fz = jnp.dot(core * pat_fz, s_lvl, preferred_element_type=jnp.float32)
 
-    # d code: sum over (l, k: h(k)=h) of B * zw-free... B already carries
-    # wxy and zw, so d_code[h] = sum gbar[l, f(k)] * B[l, k]
-    gb = _expand_gbar(gbar, Fl, W2, tile=1)  # [N, L*W2]
-    j = _iota2((L * W2, H), 0)
-    m = _iota2((L * W2, H), 1)
-    s_c = _sel(((j % W2) % W) // Fl == m, B.dtype)
+    # d code: B already carries wy and u, so d_code[h] = sum gbar[l,f(k)] * B[l,k]
+    gb = _expand_gbar(gbar, Fl, W4, tile=1)  # [N, L*W4]
+    j = _iota2((L * W4, H), 0)
+    m = _iota2((L * W4, H), 1)
+    s_c = _sel(((j % W4) % W) // Fl == m, B.dtype)
     d_code = jnp.dot(B * gb.astype(B.dtype), s_c,
                      preferred_element_type=jnp.float32)
 
-    # d table rows: analytic, then ONE scatter-add
-    g_rows = _expand_gbar(gbar, Fl, W2, tile=4)  # [N, 4L*W2]
-    code_rep = _code_columns(code, Fl, tile=4 * L)
-    w_rep = jnp.repeat(wxy, W2, axis=1)
-    zw_full = _z_weights(fz, W, tile=4)
-    d_rows = (g_rows * w_rep * zw_full * code_rep).reshape(n * 4 * L, W2)
-    # accumulate in f32, then cast to the pair table's dtype (== B.dtype)
-    d_table = jnp.zeros((E, W2), jnp.float32) \
-        .at[entry_idx.reshape(-1)].add(d_rows)
-    d_table = d_table.astype(B.dtype)
+    # d table rows: analytic, then ONE scatter-add. Accumulated in the quad
+    # table's dtype (bf16 in production — measured faster than f32 scatter,
+    # and the chunked d_table accumulation is bf16 anyway; f32 in tests).
+    g_rows = _expand_gbar(gbar, Fl, W4, tile=2)  # [N, 2L*W4]
+    code_rep = _code_columns(code, Fl, tile=2 * L)
+    w_rep = jnp.repeat(wy, W4, axis=1)
+    uw_full = _quad_weights(fx, fz, W, tile=2)
+    d_rows = (g_rows * w_rep * uw_full * code_rep).reshape(n * 2 * L, W4)
+    d_table = jnp.zeros((E, W4), B.dtype) \
+        .at[entry_idx.reshape(-1)].add(d_rows.astype(B.dtype))
 
-    return d_table, d_code, None, d_wxy, d_fz
+    return d_table, d_code, None, d_wy, d_fx, d_fz
 
 
 _blended_core.defvjp(_blended_vjp_fwd, _blended_vjp_bwd)
 
 
-def hash_encode_blended_reference(pair_table, x, code, levels,
+def hash_encode_blended_reference(quad_table, x, code, levels,
                                   features_per_logical=2, smoothstep=False):
     """Plain-autodiff formulation (testing oracle for the custom VJP)."""
     Fl = features_per_logical
     L = levels.n_levels
-    W2 = pair_table.shape[1]
-    W = W2 // 2
+    W4 = quad_table.shape[1]
+    W = W4 // _N_QUARTERS
     n = x.shape[0]
-    entry_idx, wxy, fz = hash_grid_indices(x, levels, smoothstep)
-    rows = _gather_rows(pair_table, entry_idx).astype(jnp.float32)
-    code_rep = _code_columns(code.astype(jnp.float32), Fl, tile=4 * L)
-    w_rep = jnp.repeat(wxy, W2, axis=1)
-    zw_full = _z_weights(fz, W, tile=4)
-    per_level = _sum_corners(rows * w_rep * zw_full * code_rep)  # [N, L*W2]
-    per_level = per_level.reshape(n, L, W2)
-    paired = (per_level[:, :, :W] + per_level[:, :, W:])  # [N, L, W]
+    entry_idx, wy, fx, fz = hash_grid_indices(x, levels, smoothstep)
+    rows = _gather_rows(quad_table, entry_idx).astype(jnp.float32)
+    code_rep = _code_columns(code.astype(jnp.float32), Fl, tile=2 * L)
+    w_rep = jnp.repeat(wy, W4, axis=1)
+    uw_full = _quad_weights(fx, fz, W, tile=2)
+    per_level = _sum_corners(rows * w_rep * uw_full * code_rep)  # [N, L*W4]
+    per_level = per_level.reshape(n, L, W4)
+    folded = per_level[:, :, :W]
+    for q in range(1, _N_QUARTERS):
+        folded = folded + per_level[:, :, q * W:(q + 1) * W]  # [N, L, W]
     # sum over logical tables h: [N, L, H, Fl] -> [N, L, Fl]
     H = W // Fl
-    return paired.reshape(n, L, H, Fl).sum(axis=2).reshape(n, L * Fl)
+    return folded.reshape(n, L, H, Fl).sum(axis=2).reshape(n, L * Fl)
 
 
 def hash_table_param_count(levels: HashGridLevels, row_width: int) -> int:

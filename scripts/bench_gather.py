@@ -28,7 +28,7 @@ def timeit(fn, *args, n=5, warmup=1):
 def main():
     import jax
     import jax.numpy as jnp
-    from nersemble_tpu.ops.hash_encoding import HashGridLevels, build_pair_table
+    from nersemble_tpu.ops.hash_encoding import HashGridLevels, build_quad_table
 
     levels = HashGridLevels.create()  # flagship 16 levels, 2^19
     E = levels.total_entries
@@ -68,16 +68,16 @@ def main():
               f"({n_rows/ms/1000:.1f} M rows/s)")
 
     del t128_f32, t128_bf16, upd, upd16, idx, f
-    # pair-table build
-    f = jax.jit(lambda t: build_pair_table(t, levels, jnp.bfloat16))
-    print(f"build_pair_table [E,64]->bf16 [E,128]: {timeit(f, t64_f32):8.2f} ms")
+    # quad-table build
+    f = jax.jit(lambda t: build_quad_table(t, levels, jnp.bfloat16))
+    print(f"build_quad_table [E,64]->bf16 [E,256]: {timeit(f, t64_f32):8.2f} ms")
 
-    # pair build + transpose (fold) cost
+    # quad build + transpose (fold) cost
     def build_loss(t):
-        p = build_pair_table(t, levels, jnp.bfloat16)
+        p = build_quad_table(t, levels, jnp.bfloat16)
         return jnp.sum(p.astype(jnp.float32) * 1e-3)
     f = jax.jit(jax.grad(build_loss))
-    print(f"build_pair_table fwd+bwd:               {timeit(f, t64_f32):8.2f} ms")
+    print(f"build_quad_table fwd+bwd:               {timeit(f, t64_f32):8.2f} ms")
 
     # one-chunk blended encode fwd / fwd+bwd (current design)
     from nersemble_tpu.ops.hash_encoding import hash_encode_blended
@@ -85,13 +85,13 @@ def main():
     x = jax.random.uniform(jax.random.PRNGKey(2), (N, 3), jnp.float32,
                            0.05, 0.95)
     code = jax.random.normal(jax.random.PRNGKey(3), (N, 32), jnp.float32)
-    pair = build_pair_table(t64_f32, levels, jnp.bfloat16)
+    quad = build_quad_table(t64_f32, levels, jnp.bfloat16)
 
     f = jax.jit(lambda p, xx, c: hash_encode_blended(p, xx, c, levels, 2).sum())
-    print(f"encode chunk (8192) fwd:                {timeit(f, pair, x, code):8.2f} ms")
+    print(f"encode chunk (8192) fwd:                {timeit(f, quad, x, code):8.2f} ms")
 
     def enc_loss(t, xx, c):
-        p = build_pair_table(t, levels, jnp.bfloat16)
+        p = build_quad_table(t, levels, jnp.bfloat16)
         return jnp.sum(hash_encode_blended(p, xx, c, levels, 2) ** 2)
     f = jax.jit(jax.grad(enc_loss, argnums=(0, 1, 2)))
     print(f"encode chunk + build fwd+bwd:           {timeit(f, t64_f32, x, code):8.2f} ms")

@@ -8,7 +8,7 @@ import pytest
 from nersemble_tpu.ops.distortion import distortion_loss, distortion_loss_reference
 from nersemble_tpu.ops.hash_encoding import (
     HashGridLevels,
-    build_pair_table,
+    build_quad_table,
     hash_encode,
     hash_encode_blended,
     hash_grid_indices,
@@ -105,10 +105,10 @@ def test_mlp_shapes_and_skip():
 def _naive_hash_encode(table, x, levels):
     """Straightforward per-level, per-sample trilerp reference (numpy).
 
-    ``table`` is the CANONICAL [E, W] layout; mirrors the z-pair semantics of
-    ops/hash_encoding.py: 4 xy-corners at the floor z cell, z interpolation
-    between entry ``idx`` and its per-level successor ``idx + stride``
-    (cyclic within the level segment)."""
+    ``table`` is the CANONICAL [E, W] layout; mirrors the xz-quad semantics of
+    ops/hash_encoding.py: 2 explicit y-corners at the floor (x, z) cell, x/z
+    interpolation between entry ``idx`` and its per-level x/z successors
+    ``idx + sx`` / ``idx + sz`` (cyclic within the level segment)."""
     table = np.asarray(table)
     x = np.asarray(x)
     N = x.shape[0]
@@ -119,30 +119,34 @@ def _naive_hash_encode(table, x, levels):
         scale = levels.scales[l]
         res = levels.resolutions[l]
         size = levels.sizes[l]
-        stride = levels.z_strides[l] % size
+        sx = levels.x_strides[l] % size
+        sz = levels.z_strides[l] % size
         pos = x * scale + 0.5
         g0 = np.floor(pos).astype(np.int64)
         w = pos - g0
+        cx = np.clip(g0[:, 0], 0, res - 1)
         cz = np.clip(g0[:, 2], 0, res - 1)
-        fz = w[:, 2]
-        for ci in (0, 1):
-            for cj in (0, 1):
-                cx = np.clip(g0[:, 0] + ci, 0, res - 1)
-                cy = np.clip(g0[:, 1] + cj, 0, res - 1)
-                if levels.hashed[l]:
-                    h = ((cx.astype(np.uint32) * np.uint32(1))
-                         ^ (cy.astype(np.uint32) * np.uint32(2654435761)))
-                    h = h + cz.astype(np.uint32) * np.uint32(levels.z_strides[l])
-                    idx = (h & mask).astype(np.int64)
-                else:
-                    idx = cx + res * cy + levels.z_strides[l] * cz
-                succ = (idx + stride) % size
-                wxy = ((w[:, 0] if ci else 1 - w[:, 0])
-                       * (w[:, 1] if cj else 1 - w[:, 1]))
-                lo = table[levels.offsets[l] + idx]
-                hi = table[levels.offsets[l] + succ]
-                out[:, l] += wxy[:, None] * ((1 - fz)[:, None] * lo
-                                             + fz[:, None] * hi)
+        fx, fz = w[:, 0], w[:, 2]
+        for cj in (0, 1):
+            cy = np.clip(g0[:, 1] + cj, 0, res - 1)
+            if levels.hashed[l]:
+                h = (cy.astype(np.uint64) * 2654435761
+                     + cx.astype(np.uint64) * levels.x_strides[l]
+                     + cz.astype(np.uint64) * levels.z_strides[l])
+                idx = (h & np.uint64(mask)).astype(np.int64)
+            else:
+                idx = cy + levels.x_strides[l] * cx + levels.z_strides[l] * cz
+            wy = (w[:, 1] if cj else 1 - w[:, 1])
+            base = levels.offsets[l]
+            q00 = table[base + idx]
+            q01 = table[base + (idx + sz) % size]
+            q10 = table[base + (idx + sx) % size]
+            q11 = table[base + (idx + sx + sz) % size]
+            lerp = ((1 - fx) * (1 - fz))[:, None] * q00 \
+                + ((1 - fx) * fz)[:, None] * q01 \
+                + (fx * (1 - fz))[:, None] * q10 \
+                + (fx * fz)[:, None] * q11
+            out[:, l] += wy[:, None] * lerp
     return out  # [N, L, W]
 
 
@@ -157,12 +161,14 @@ def test_hash_levels_structure(small_levels):
     lv = small_levels
     assert lv.n_levels == 6
     assert lv.resolutions[0] == 5
-    # dense level 0: z plane padded to a sublane multiple (ceil(25/8)*8 = 32)
-    assert not lv.hashed[0] and lv.sizes[0] == 5 * 32 and lv.z_strides[0] == 32
+    # dense level 0: idx = y + SX*x + SZ*z with SX = ceil8(5) = 8, SZ = 40
+    assert not lv.hashed[0] and lv.x_strides[0] == 8 and lv.z_strides[0] == 40
+    assert lv.sizes[0] == 40 * 5
     assert any(lv.hashed)
     for l in range(6):
         assert lv.sizes[l] % 8 == 0
         assert lv.offsets[l] % 8 == 0
+        assert lv.x_strides[l] % 8 == 0 and lv.x_strides[l] > 0
         assert lv.z_strides[l] % 8 == 0 and lv.z_strides[l] > 0
         if lv.hashed[l]:
             assert lv.sizes[l] == 1024
@@ -173,53 +179,55 @@ def test_hash_levels_structure(small_levels):
 def test_hash_encode_matches_naive(small_levels):
     rng = jax.random.PRNGKey(1)
     table = init_hash_table(rng, small_levels, row_width=4)
-    pair = build_pair_table(table, small_levels, dtype=jnp.float32)
+    quad = build_quad_table(table, small_levels, dtype=jnp.float32)
     x = jax.random.uniform(jax.random.PRNGKey(2), (17, 3))
-    out = np.asarray(hash_encode(pair, x, small_levels))
+    out = np.asarray(hash_encode(quad, x, small_levels))
     ref = _naive_hash_encode(table, x, small_levels).reshape(17, -1)
     assert out.shape == (17, 6 * 4)
     assert np.allclose(out, ref, atol=1e-5)
 
 
-def test_pair_table_successor_is_z_neighbor(small_levels):
-    """Interior cells: the pair row's hi half == the canonical features of
-    the true z+1 vertex (the whole point of the additive-z hash layout)."""
+def test_quad_table_successors_are_xz_neighbors(small_levels):
+    """Interior cells: the quad row's quarters == the canonical features of
+    the true z+1 / x+1 / (x+1,z+1) vertices (the point of the additive
+    index layout)."""
     lv = small_levels
     rng = np.random.default_rng(0)
     table = np.asarray(init_hash_table(jax.random.PRNGKey(0), lv, 4))
-    pair = np.asarray(build_pair_table(jnp.asarray(table), lv,
+    quad = np.asarray(build_quad_table(jnp.asarray(table), lv,
                                        dtype=jnp.float32))
     mask = np.uint32(2 ** lv.log2_hashmap_size - 1)
     for l in range(lv.n_levels):
         res = lv.resolutions[l]
-        cx, cy = rng.integers(0, res, 2)
-        cz = rng.integers(0, res - 1)  # interior: z+1 valid
+        cy = rng.integers(0, res)
+        cx, cz = rng.integers(0, res - 1, 2)  # interior: x+1, z+1 valid
 
-        def idx(z):
+        def idx(x, z):
             if lv.hashed[l]:
-                h = (np.uint32(cx) * np.uint32(1)) ^ \
-                    (np.uint32(cy) * np.uint32(2654435761))
-                return int((h + np.uint32(z) * np.uint32(lv.z_strides[l]))
-                           & mask)
-            return int(cx + res * cy + lv.z_strides[l] * z)
+                h = (int(cy) * 2654435761 + int(x) * lv.x_strides[l]
+                     + int(z) * lv.z_strides[l])
+                return int(h & int(mask))
+            return int(cy + lv.x_strides[l] * x + lv.z_strides[l] * z)
 
-        lo, hi = idx(cz), idx(cz + 1)
-        np.testing.assert_array_equal(pair[lv.offsets[l] + lo, :4],
-                                      table[lv.offsets[l] + lo])
-        np.testing.assert_array_equal(pair[lv.offsets[l] + lo, 4:],
-                                      table[lv.offsets[l] + hi])
+        base = lv.offsets[l]
+        e = idx(cx, cz)
+        for q, (dx, dz) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            np.testing.assert_array_equal(
+                quad[base + e, 4 * q:4 * (q + 1)],
+                table[base + idx(cx + dx, cz + dz)],
+                err_msg=f"level {l} quarter {q}")
 
 
 def test_hash_encode_blended_matches_einsum(small_levels):
     # H=4 logical tables x F_l=2 -> row width 8
     rng = jax.random.PRNGKey(3)
     table = init_hash_table(rng, small_levels, row_width=8)
-    pair = build_pair_table(table, small_levels, dtype=jnp.float32)
+    quad = build_quad_table(table, small_levels, dtype=jnp.float32)
     N = 11
     x = jax.random.uniform(jax.random.PRNGKey(4), (N, 3))
     code = jax.random.normal(jax.random.PRNGKey(5), (N, 4))
 
-    out = np.asarray(hash_encode_blended(pair, x, code, small_levels,
+    out = np.asarray(hash_encode_blended(quad, x, code, small_levels,
                                          features_per_logical=2))
     assert out.shape == (N, 6 * 2)
 
@@ -239,17 +247,17 @@ def test_hash_encode_gradients(small_levels):
     x = jax.random.uniform(jax.random.PRNGKey(7), (5, 3), minval=0.1, maxval=0.9)
 
     def loss_t(t):
-        pair = build_pair_table(t, small_levels, dtype=jnp.float32)
-        return jnp.sum(hash_encode(pair, x, small_levels) ** 2)
+        quad = build_quad_table(t, small_levels, dtype=jnp.float32)
+        return jnp.sum(hash_encode(quad, x, small_levels) ** 2)
 
     g_table = jax.grad(loss_t)(table)
     assert np.isfinite(np.asarray(g_table)).all()
     assert np.abs(np.asarray(g_table)).sum() > 0
 
-    pair = build_pair_table(table, small_levels, dtype=jnp.float32)
+    quad = build_quad_table(table, small_levels, dtype=jnp.float32)
 
     def loss_x(xx):
-        return jnp.sum(hash_encode(pair, xx, small_levels) ** 2)
+        return jnp.sum(hash_encode(quad, xx, small_levels) ** 2)
 
     g_x = jax.grad(loss_x)(x)
     assert np.isfinite(np.asarray(g_x)).all()
@@ -577,10 +585,10 @@ def test_occupancy_update_and_binaries():
 
 def test_blended_custom_vjp_matches_autodiff(small_levels):
     """The custom-VJP blended encode == plain autodiff (values + all grads),
-    end-to-end through the canonical-table pair build (tests the roll-back
+    end-to-end through the canonical-table quad build (tests the roll-back
     gradient fold too)."""
     from nersemble_tpu.ops.hash_encoding import (
-        build_pair_table,
+        build_quad_table,
         hash_encode_blended,
         hash_encode_blended_reference,
         init_hash_table,
@@ -596,8 +604,8 @@ def test_blended_custom_vjp_matches_autodiff(small_levels):
     g_out = jax.random.normal(jax.random.PRNGKey(3), (N, 6 * Fl))
 
     def run(fn, t, xx, c):
-        pair = build_pair_table(t, small_levels, dtype=jnp.float32)
-        out = fn(pair, xx, c, small_levels, features_per_logical=Fl)
+        quad = build_quad_table(t, small_levels, dtype=jnp.float32)
+        out = fn(quad, xx, c, small_levels, features_per_logical=Fl)
         return jnp.sum(out * g_out), out
 
     (loss_c, out_c), grads_c = jax.value_and_grad(

@@ -17,7 +17,7 @@ def test_feature_sharded_encode_matches_replicated():
 
     from nersemble_tpu.ops.hash_encoding import (
         HashGridLevels,
-        build_pair_table,
+        build_quad_table,
         hash_encode_blended,
         init_hash_table,
     )
@@ -29,7 +29,7 @@ def test_feature_sharded_encode_matches_replicated():
     x = jax.random.uniform(jax.random.PRNGKey(1), (33, 3))
     code = jax.random.normal(jax.random.PRNGKey(2), (33, 32))
     f = jax.jit(lambda t, x, c: hash_encode_blended(
-        build_pair_table(t, levels, dtype=jnp.float32), x, c, levels,
+        build_quad_table(t, levels, dtype=jnp.float32), x, c, levels,
         features_per_logical=2))
     out_rep = f(table, x, code)
 
@@ -56,6 +56,10 @@ def test_table_sharded_training_matches_replicated(tmp_path_factory):
         # 32 logical x 2 features -> 8 physical tables: divides over 8 devices
         config.model.hash_ensemble.n_hash_encodings = 32
         config.model.latent_dim_time = 32
+        # f32 gather operand: isolates SHARDING equivalence from bf16
+        # scatter-accumulation rounding (order differs between layouts and
+        # Adam amplifies tiny sign flips into lr-sized param diffs)
+        config.model.table_dtype = "float32"
         config.max_num_iterations = 3
         config.steps_per_save = 1000
         config.parallel.data_axis_size = 8

@@ -143,6 +143,10 @@ def test_multichip_sharded_step_matches_single(env_setup):
     for n_dev in (1, 8):
         manager = folder.new_run(name=f"mesh{n_dev}")
         config = tiny_train_config(manager.get_run_name(), folder.get_location())
+        # f32 gather operand: isolates SHARDING equivalence from bf16
+        # scatter-accumulation rounding (summation order differs between
+        # device layouts; Adam amplifies tiny rounding flips)
+        config.model.table_dtype = "float32"
         config.max_num_iterations = 3
         config.steps_per_save = 1000
         config.parallel.data_axis_size = n_dev
