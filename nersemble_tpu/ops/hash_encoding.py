@@ -267,9 +267,41 @@ def _expand_gbar(gbar: jnp.ndarray, Fl: int, width: int, tile: int):
     return jnp.tile(g, (1, tile)) if tile > 1 else g
 
 
+def _s_code(H: int, Fl: int, L: int, dtype):
+    """[H, 2L*W4] 0/1 expansion: column j carries logical table
+    h(j) = ((j % W4) % W) // Fl."""
+    W = H * Fl
+    W4 = _N_QUARTERS * W
+    h = _iota2((H, 2 * L * W4), 0)
+    j = _iota2((H, 2 * L * W4), 1)
+    return _sel(((j % W4) % W) // Fl == h, dtype)
+
+
+def _s_wu(L: int, W4: int, dtype):
+    """[2L*4, 2L*W4] 0/1 expansion: column j comes from the (corner-level,
+    quarter) slot r(j) = (j // W4) * 4 + (j % W4) // W."""
+    W = W4 // _N_QUARTERS
+    r = _iota2((2 * L * _N_QUARTERS, 2 * L * W4), 0)
+    j = _iota2((2 * L * _N_QUARTERS, 2 * L * W4), 1)
+    return _sel((j // W4 == r // _N_QUARTERS)
+                & ((j % W4) // W == r % _N_QUARTERS), dtype)
+
+
+def _expand_mm(small: jnp.ndarray, sel: jnp.ndarray) -> jnp.ndarray:
+    """Column expansion as an MXU matmul against a 0/1 selection matrix.
+
+    Each output column copies exactly one input column (one-hot rows), so the
+    product is exact in any dtype. Measured: jnp.tile/repeat to the wide
+    [N, 2L*W4] shape runs as slow VPU data-formatting loops (~56 ms/step in
+    the flagship backward); the same expansion on the MXU is ~1 ms."""
+    return jnp.dot(small.astype(sel.dtype), sel,
+                   preferred_element_type=sel.dtype)
+
+
 def _code_columns(code: jnp.ndarray, Fl: int, tile: int) -> jnp.ndarray:
     """code [N, H] -> [N, tile * 4 * H * Fl]: the per-column logical-table
-    multiplier over one quad row [q0 | q1 | q2 | q3], tiled corner-major."""
+    multiplier over one quad row [q0 | q1 | q2 | q3], tiled corner-major.
+    (jnp-tile fallback used by small/test paths.)"""
     c = jnp.repeat(code, Fl, axis=1)  # [N, W]
     c = jnp.tile(c, (1, _N_QUARTERS))  # [N, W4]
     return jnp.tile(c, (1, tile)) if tile > 1 else c
@@ -391,27 +423,36 @@ def _blended_fwd_impl(quad_table, code, entry_idx, wy, fx, fz, L, Fl):
     n = code.shape[0]
 
     rows = _gather_rows(quad_table, entry_idx)  # [N, 2L*W4] (bf16 usually)
-    # blend matmuls run in the quad table's dtype (bf16 in production,
-    # f32 in exactness tests), always accumulating f32 on the MXU
+    # blend matmuls AND the wide [N, 2L*W4] elementwise expansions run in the
+    # quad table's dtype (bf16 in production, f32 in exactness tests); small
+    # [N, L]-shaped weight math stays f32 and is cast BEFORE the repeat/tile
+    # expansion — the expanded buffers are the step's largest tensors (2 GB
+    # each in f32 at the flagship chunk; halving them fixed a 1.2 GB OOM).
+    # MXU contractions always accumulate f32.
     mm_dtype = rows.dtype
-    code_rep = _code_columns(code, Fl, tile=2 * L)
+    H = W // Fl
+    code_rep = _expand_mm(code, _s_code(H, Fl, L, mm_dtype))  # [N, 2L*W4]
     # CG[n, (cl)*4Fl + q*Fl + f] = sum_h code * rows
-    cg_in = rows * code_rep.astype(mm_dtype)
-    CG = jnp.dot(cg_in, _s_cg(L, W4, Fl, mm_dtype),
+    CG = jnp.dot(rows * code_rep, _s_cg(L, W4, Fl, mm_dtype),
                  preferred_element_type=jnp.float32)  # [N, 2L*4Fl]
 
-    uw_fl = _quad_weights(fx, fz, Fl, tile=2)  # [N, 2L*4Fl]
+    uw_fl = _quad_weights(fx, fz, Fl, tile=2)  # [N, 2L*4Fl] (small: f32)
     G = jnp.dot(CG * uw_fl, _s_quarter(L, Fl),
                 preferred_element_type=jnp.float32)  # [N, 2L*Fl]
     w_fl = jnp.repeat(wy, Fl, axis=1)  # [N, 2L*Fl]
     out = _sum_corners(G * w_fl)  # [N, L*Fl]
 
-    # B[n, l*W4 + k] = sum_c wy * u_q * rows (for d_code); stored in the
-    # table dtype (bf16 residual in production)
-    w_rep = jnp.repeat(wy, W4, axis=1)
-    uw_full = _quad_weights(fx, fz, W, tile=2)
-    B = _sum_corners(rows.astype(jnp.float32) * w_rep * uw_full)
-    return out, (CG, B.astype(mm_dtype))
+    # B[n, l*W4 + k] = sum_c wy * u_q * rows (for d_code); computed and
+    # stored in the table dtype (bf16 residual in production). The small
+    # per-(corner-level, quarter) weights wy * u are combined FIRST, then
+    # MXU-expanded to the wide row shape.
+    u4 = _quad_weights(fx, fz, 1, tile=1)  # [N, L*4] (l, q)-major
+    wu = (wy[:, :, None]
+          * jnp.tile(u4, (1, 2)).reshape(n, 2 * L, _N_QUARTERS)
+          ).reshape(n, 2 * L * _N_QUARTERS)  # [N, 2L*4] ((cl), q)-major
+    wu_rep = _expand_mm(wu, _s_wu(L, W4, mm_dtype))  # [N, 2L*W4]
+    B = _sum_corners(rows * wu_rep)
+    return out, (CG, B)
 
 
 def _blended_vjp_fwd(quad_table, code, entry_idx, wy, fx, fz, L, Fl):
@@ -451,23 +492,25 @@ def _blended_vjp_bwd(L, Fl, residuals, gbar):
     d_fz = jnp.dot(core * pat_fz, s_lvl, preferred_element_type=jnp.float32)
 
     # d code: B already carries wy and u, so d_code[h] = sum gbar[l,f(k)] * B[l,k]
-    gb = _expand_gbar(gbar, Fl, W4, tile=1)  # [N, L*W4]
+    gb = _expand_gbar(gbar.astype(B.dtype), Fl, W4, tile=1)  # [N, L*W4]
     j = _iota2((L * W4, H), 0)
     m = _iota2((L * W4, H), 1)
     s_c = _sel(((j % W4) % W) // Fl == m, B.dtype)
-    d_code = jnp.dot(B * gb.astype(B.dtype), s_c,
-                     preferred_element_type=jnp.float32)
+    d_code = jnp.dot(B * gb, s_c, preferred_element_type=jnp.float32)
 
-    # d table rows: analytic, then ONE scatter-add. Accumulated in the quad
-    # table's dtype (bf16 in production — measured faster than f32 scatter,
-    # and the chunked d_table accumulation is bf16 anyway; f32 in tests).
-    g_rows = _expand_gbar(gbar, Fl, W4, tile=2)  # [N, 2L*W4]
-    code_rep = _code_columns(code, Fl, tile=2 * L)
-    w_rep = jnp.repeat(wy, W4, axis=1)
-    uw_full = _quad_weights(fx, fz, W, tile=2)
-    d_rows = (g_rows * w_rep * uw_full * code_rep).reshape(n * 2 * L, W4)
-    d_table = jnp.zeros((E, W4), B.dtype) \
-        .at[entry_idx.reshape(-1)].add(d_rows.astype(B.dtype))
+    # d table rows: analytic, then ONE scatter-add. The three sample-small
+    # factors (gbar, wy, u) combine on the [N, 2L*4Fl] shape FIRST, then two
+    # MXU one-hot matmuls expand to the wide [N, 2L*W4] row shape (S_m is
+    # exactly S_cg transposed) — no VPU tile/repeat passes. Everything wide
+    # runs in the quad table's dtype (bf16 in production; f32 in tests).
+    dt = B.dtype
+    H_ = W // Fl
+    m_small = g_q * uw_fl * w_4fl  # [N, 2L*4Fl]
+    m_rep = jnp.dot(m_small.astype(dt), _s_cg(L, W4, Fl, dt).T,
+                    preferred_element_type=dt)  # [N, 2L*W4]
+    code_rep = _expand_mm(code, _s_code(H_, Fl, L, dt))
+    d_rows = (m_rep * code_rep).reshape(n * 2 * L, W4)
+    d_table = jnp.zeros((E, W4), dt).at[entry_idx.reshape(-1)].add(d_rows)
 
     return d_table, d_code, None, d_wy, d_fx, d_fz
 

@@ -10,6 +10,7 @@ sin and cos halves.
 from typing import Optional
 
 import jax.numpy as jnp
+import numpy as np
 
 from nersemble_tpu.utils.windows import posenc_window
 
@@ -27,8 +28,11 @@ def windowed_posenc(x: jnp.ndarray,
     if max_freq_exp is None:
         max_freq_exp = num_frequencies - 1
     scaled = 2.0 * jnp.pi * x
-    freqs = 2.0 ** jnp.linspace(min_freq_exp, max_freq_exp, num_frequencies,
-                                dtype=x.dtype)
+    # host-side constant (see windows.posenc_window: traced linspace compiles
+    # to a scalar-core serialization point)
+    freqs = jnp.asarray(
+        2.0 ** np.linspace(min_freq_exp, max_freq_exp, num_frequencies),
+        dtype=x.dtype)
     # [..., D, F] -> [..., D*F]
     angles = scaled[..., None] * freqs
     angles = angles.reshape(*angles.shape[:-2], -1)

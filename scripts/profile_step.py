@@ -44,12 +44,11 @@ def main():
     from nersemble_tpu.models.field import field_density
     from nersemble_tpu.models.deformation import deformation_offsets
     from nersemble_tpu.ops.sampling import march_rays
-    from nersemble_tpu.ops.hash_encoding import (hash_grid_indices,
+    from nersemble_tpu.ops.hash_encoding import (build_quad_table,
+                                                 hash_grid_indices,
                                                  hash_encode_blended)
 
-    config = _flagship_model_config(tiny=False)
-    config.sampling.max_samples_per_ray = 64
-    config.sampling.max_candidates_per_ray = 1024
+    config = _flagship_model_config(tiny=False)  # S=256, candidates 1024
     n_rays = args.rays
     model = NeRSembleModel(config)
     params = model.init_params(jax.random.PRNGKey(0))
@@ -104,13 +103,18 @@ def main():
     run("hash_grid_indices fwd", jax.jit(
         lambda p: hash_grid_indices(p, levels)[0]), pos)
 
-    run("hash_encode_blended fwd", jax.jit(
-        lambda t, p, c_: hash_encode_blended(t, p, c_, levels, 2)),
+    run("build_quad_table fwd", jax.jit(
+        lambda t: build_quad_table(t, levels, jnp.bfloat16)), table)
+
+    run("hash_encode_blended (+build) fwd", jax.jit(
+        lambda t, p, c_: hash_encode_blended(
+            build_quad_table(t, levels, jnp.bfloat16), p, c_, levels, 2)),
         table, pos, code)
 
     def enc_loss(t, p, c_):
-        return jnp.sum(hash_encode_blended(t, p, c_, levels, 2) ** 2)
-    run("hash_encode_blended fwd+bwd",
+        q = build_quad_table(t, levels, jnp.bfloat16)
+        return jnp.sum(hash_encode_blended(q, p, c_, levels, 2) ** 2)
+    run("hash_encode_blended (+build) fwd+bwd",
         jax.jit(jax.grad(enc_loss, argnums=(0, 1, 2))), table, pos, code)
 
     dp = params.get("deformation")
@@ -129,9 +133,12 @@ def main():
         run("deformation fwd+bwd",
             jax.jit(jax.grad(def_loss, argnums=(0, 1))), dp, pos, tc_def)
 
+    from nersemble_tpu.models.field import prepare_field
+
     def dens(p, x, t):
         tc = p["time_embedding"][t]
-        return field_density(p["field"], x, tc, config, levels,
+        fp = prepare_field(p["field"], config, levels)
+        return field_density(fp, x, tc, config, levels,
                              model.aabb_min, model.aabb_max,
                              window_hash=sched["window_hash"])[0]
     run("field_density fwd", jax.jit(dens), params, pos, ts)
