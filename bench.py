@@ -30,7 +30,7 @@ def main():
 
     from __graft_entry__ import _example_rays, _flagship_model_config
     from nersemble_tpu.engine.optimizers import (
-        apply_updates_with_group_lrs,
+        fused_adam_update,
         group_of_param,
         make_optimizer,
     )
@@ -83,8 +83,8 @@ def main():
             return sum(losses.values()), jnp.sum(out["num_samples_per_ray"])
 
         (total, n_samples), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state)
-        params = apply_updates_with_group_lrs(params, updates, key_to_group, lrs)
+        params, opt_state = fused_adam_update(params, grads, opt_state,
+                                              key_to_group, lrs)
         return params, opt_state, total, n_samples
 
     step = jax.jit(train_step, donate_argnums=(0, 1))

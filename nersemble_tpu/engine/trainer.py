@@ -31,7 +31,7 @@ from nersemble_tpu.data.multi_view_data import NeRSembleDataManager
 from nersemble_tpu.data.ray_batcher import EvalImageLoader, RayBatcher
 from nersemble_tpu.engine import checkpoints
 from nersemble_tpu.engine.optimizers import (
-    apply_updates_with_group_lrs,
+    fused_adam_update,
     group_of_param,
     make_optimizer,
 )
@@ -218,8 +218,8 @@ class NeRSembleTrainer:
                 return total, aux
 
             (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, opt_state = optimizer.update(grads, opt_state)
-            params = apply_updates_with_group_lrs(params, updates, key_to_group, lrs)
+            params, opt_state = fused_adam_update(params, grads, opt_state,
+                                                  key_to_group, lrs)
             return params, opt_state, total, aux
 
         # one jitted step per (rare, quantized) compaction budget — the

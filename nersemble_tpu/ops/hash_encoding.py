@@ -90,10 +90,13 @@ class HashGridLevels:
     def create(n_levels: int = 16, log2_hashmap_size: int = 19,
                base_resolution: int = 16,
                per_level_scale: float = 1.4472692012786865) -> "HashGridLevels":
-        """Every segment size, offset, and x/z-stride is a multiple of 8 rows
-        (one f32 sublane tile) so the per-level rolls of build_quad_table are
-        tile-aligned contiguous copies — measured 211 ms -> ~10 ms on v5e for
-        the flagship table when alignment was added."""
+        """Every segment size, offset, and x/z-stride is a multiple of 16 rows
+        (one BF16 sublane tile — the quad gather operand is bf16, and 8-row
+        alignment leaves every roll/slice straddling bf16 tiles) so the
+        per-level rolls of build_quad_table are tile-aligned contiguous
+        copies — measured 211 ms -> ~10 ms on v5e for the flagship table when
+        alignment was first added."""
+        align = 16
         max_size = 2 ** log2_hashmap_size
         mask = max_size - 1
         scales, resolutions, sizes, hashed, offsets = [], [], [], [], []
@@ -103,19 +106,19 @@ class HashGridLevels:
             scale = base_resolution * per_level_scale ** l
             res = int(np.ceil(scale)) + 1
             # dense layout idx = y + SX*x + SZ*z with the x column padded to
-            # a sublane multiple (so both successor strides are 8-aligned)
-            sx = -(-res // 8) * 8
+            # a sublane multiple (so both successor strides are tile-aligned)
+            sx = -(-res // align) * align
             sz = sx * res
             dense_size = sz * res
             if dense_size <= max_size:
                 size, is_hashed = dense_size, False
             else:
                 size, is_hashed = max_size, True
-                # 8-aligned additive strides: the low 3 bits of the bucket
+                # tile-aligned additive strides: the low bits of the bucket
                 # come from the y hash only; x-only / z-only neighbor pairs
                 # never collide in-range (dx * sx != 0 mod 2^M for dx < res)
-                sx = (int(_PRIMES[1]) & mask) & ~7
-                sz = (int(_PRIMES[2]) & mask) & ~7
+                sx = (int(_PRIMES[1]) & mask) & ~(align - 1)
+                sz = (int(_PRIMES[2]) & mask) & ~(align - 1)
             scales.append(float(scale))
             resolutions.append(res)
             sizes.append(size)
