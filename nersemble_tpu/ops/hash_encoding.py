@@ -90,13 +90,13 @@ class HashGridLevels:
     def create(n_levels: int = 16, log2_hashmap_size: int = 19,
                base_resolution: int = 16,
                per_level_scale: float = 1.4472692012786865) -> "HashGridLevels":
-        """Every segment size, offset, and x/z-stride is a multiple of 16 rows
-        (one BF16 sublane tile — the quad gather operand is bf16, and 8-row
-        alignment leaves every roll/slice straddling bf16 tiles) so the
-        per-level rolls of build_quad_table are tile-aligned contiguous
-        copies — measured 211 ms -> ~10 ms on v5e for the flagship table when
-        alignment was first added."""
-        align = 16
+        """Every segment size, offset, and x/z-stride is a multiple of 32
+        rows. The quad build/fold rolls run on a row-paired [E/2, 2W] view of
+        the canonical [E, W] table (W = 64 is half a 128-lane tile; the
+        paired view moves full tiles) — 32-row alignment keeps every segment
+        boundary tile-aligned in that view (16 bf16 sublanes x 2 rows).
+        Misaligned rolls measured 211 ms vs ~10 ms on v5e round 1."""
+        align = 32
         max_size = 2 ** log2_hashmap_size
         mask = max_size - 1
         scales, resolutions, sizes, hashed, offsets = [], [], [], [], []
@@ -146,13 +146,29 @@ def init_hash_table(rng, levels: HashGridLevels, row_width: int,
 
 def _roll_levels(table: jnp.ndarray, levels: HashGridLevels,
                  strides: Tuple[int, ...]) -> jnp.ndarray:
-    """Per-level cyclic roll by -stride rows (pure contiguous copies)."""
+    """Per-level cyclic roll by -stride rows (pure contiguous copies).
+
+    Runs on a row-paired [E/2, 2W] view when possible: W is typically 64 =
+    half a 128-lane tile, so copies in the natural view run at <=50% lane
+    utilization; every level offset/size/stride is 32-row aligned (see
+    ``create``), making the paired view exact (roll by stride/2 row-pairs)
+    and full-tile."""
+    E, W = table.shape
+    fold = 2 if all(
+        size % 2 == 0 and off % 2 == 0 and (stride % size) % 2 == 0
+        for size, off, stride in zip(levels.sizes, levels.offsets, strides)
+    ) else 1
+    if fold == 2:
+        table = table.reshape(E // 2, 2 * W)
     segs = []
     for l in range(levels.n_levels):
-        seg = jax.lax.slice_in_dim(table, levels.offsets[l],
-                                   levels.offsets[l] + levels.sizes[l], axis=0)
-        segs.append(jnp.roll(seg, -(strides[l] % levels.sizes[l]), axis=0))
-    return jnp.concatenate(segs, axis=0)
+        size = levels.sizes[l] // fold
+        off = levels.offsets[l] // fold
+        shift = (strides[l] % levels.sizes[l]) // fold
+        seg = jax.lax.slice_in_dim(table, off, off + size, axis=0)
+        segs.append(jnp.roll(seg, -shift, axis=0))
+    out = jnp.concatenate(segs, axis=0)
+    return out.reshape(E, W) if fold == 2 else out
 
 
 def build_quad_table(table: jnp.ndarray, levels: HashGridLevels,

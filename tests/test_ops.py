@@ -161,15 +161,15 @@ def test_hash_levels_structure(small_levels):
     lv = small_levels
     assert lv.n_levels == 6
     assert lv.resolutions[0] == 5
-    # dense level 0: idx = y + SX*x + SZ*z with SX = ceil16(5) = 16, SZ = 80
-    assert not lv.hashed[0] and lv.x_strides[0] == 16 and lv.z_strides[0] == 80
-    assert lv.sizes[0] == 80 * 5
+    # dense level 0: idx = y + SX*x + SZ*z with SX = ceil32(5) = 32, SZ = 160
+    assert not lv.hashed[0] and lv.x_strides[0] == 32 and lv.z_strides[0] == 160
+    assert lv.sizes[0] == 160 * 5
     assert any(lv.hashed)
     for l in range(6):
-        assert lv.sizes[l] % 16 == 0
-        assert lv.offsets[l] % 16 == 0
-        assert lv.x_strides[l] % 16 == 0 and lv.x_strides[l] > 0
-        assert lv.z_strides[l] % 16 == 0 and lv.z_strides[l] > 0
+        assert lv.sizes[l] % 32 == 0
+        assert lv.offsets[l] % 32 == 0
+        assert lv.x_strides[l] % 32 == 0 and lv.x_strides[l] > 0
+        assert lv.z_strides[l] % 32 == 0 and lv.z_strides[l] > 0
         if lv.hashed[l]:
             assert lv.sizes[l] == 1024
     assert lv.total_entries == sum(lv.sizes)
