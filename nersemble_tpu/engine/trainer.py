@@ -512,8 +512,11 @@ class NeRSembleTrainer:
                                      self.grid_mask, batch, sched)
             for key in outs:
                 if key in out:
-                    outs[key].append(np.asarray(out[key])[:hi - lo])
-        return {key: np.concatenate(vals).reshape(H, W, -1)
+                    # keep DEVICE arrays here: a per-chunk np.asarray would
+                    # block the dispatch pipeline on every chunk's transfer
+                    outs[key].append((out[key], hi - lo))
+        return {key: np.concatenate([np.asarray(a)[:n_valid]
+                                     for a, n_valid in vals]).reshape(H, W, -1)
                 for key, vals in outs.items() if vals}
 
     def _eval_image(self, step: int, image_idx: int = 0) -> Dict[str, float]:
