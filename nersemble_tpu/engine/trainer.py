@@ -251,6 +251,12 @@ class NeRSembleTrainer:
         frac = cfg.model.sampling.global_budget_fraction
         self._budget = -(-int(R * S * frac) // 128) * 128 \
             if 0 < frac < 1.0 else R * S
+        scfg = cfg.model.sampling
+        if (scfg.adaptive_budget and scfg.adaptive_budget_max_chunks > 0
+                and cfg.model.max_n_samples_per_batch > 0):
+            self._budget = min(
+                self._budget,
+                scfg.adaptive_budget_max_chunks * cfg.model.max_n_samples_per_batch)
         self._sample_counts = []
         self._budget_drops = []
 
@@ -347,6 +353,9 @@ class NeRSembleTrainer:
         new = quantized_budget(measured, R, S,
                                headroom=scfg.adaptive_budget_headroom,
                                current=self._budget)
+        chunk = self.config.model.max_n_samples_per_batch
+        if scfg.adaptive_budget_max_chunks > 0 and chunk > 0:
+            new = min(new, scfg.adaptive_budget_max_chunks * chunk)
         if new != self._budget:
             print(f"[nersemble-tpu] step {step}: compaction budget "
                   f"{self._budget} -> {new} "
