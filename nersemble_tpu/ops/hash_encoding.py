@@ -148,27 +148,16 @@ def _roll_levels(table: jnp.ndarray, levels: HashGridLevels,
                  strides: Tuple[int, ...]) -> jnp.ndarray:
     """Per-level cyclic roll by -stride rows (pure contiguous copies).
 
-    Runs on a row-paired [E/2, 2W] view when possible: W is typically 64 =
-    half a 128-lane tile, so copies in the natural view run at <=50% lane
-    utilization; every level offset/size/stride is 32-row aligned (see
-    ``create``), making the paired view exact (roll by stride/2 row-pairs)
-    and full-tile."""
-    E, W = table.shape
-    fold = 2 if all(
-        size % 2 == 0 and off % 2 == 0 and (stride % size) % 2 == 0
-        for size, off, stride in zip(levels.sizes, levels.offsets, strides)
-    ) else 1
-    if fold == 2:
-        table = table.reshape(E // 2, 2 * W)
+    (A row-paired [E/2, 2W] variant for full-tile copies was tried and
+    REVERTED: the reshape boundaries around each rolled copy broke XLA
+    fusion and materialized ~3 GB of extra table copies, OOMing the
+    flagship train step.)"""
     segs = []
     for l in range(levels.n_levels):
-        size = levels.sizes[l] // fold
-        off = levels.offsets[l] // fold
-        shift = (strides[l] % levels.sizes[l]) // fold
-        seg = jax.lax.slice_in_dim(table, off, off + size, axis=0)
-        segs.append(jnp.roll(seg, -shift, axis=0))
-    out = jnp.concatenate(segs, axis=0)
-    return out.reshape(E, W) if fold == 2 else out
+        seg = jax.lax.slice_in_dim(table, levels.offsets[l],
+                                   levels.offsets[l] + levels.sizes[l], axis=0)
+        segs.append(jnp.roll(seg, -(strides[l] % levels.sizes[l]), axis=0))
+    return jnp.concatenate(segs, axis=0)
 
 
 def build_quad_table(table: jnp.ndarray, levels: HashGridLevels,
