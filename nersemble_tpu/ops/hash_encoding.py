@@ -500,7 +500,11 @@ def _blended_vjp_bwd(L, Fl, residuals, gbar):
     d_fz = jnp.dot(core * pat_fz, s_lvl, preferred_element_type=jnp.float32)
 
     # d code: B already carries wy and u, so d_code[h] = sum gbar[l,f(k)] * B[l,k]
-    gb = _expand_gbar(gbar.astype(B.dtype), Fl, W4, tile=1)  # [N, L*W4]
+    j = _iota2((L * Fl, L * W4), 0)
+    m = _iota2((L * Fl, L * W4), 1)
+    s_gb = _sel((m // W4 == j // Fl) & ((m % W4) % W % Fl == j % Fl), B.dtype)
+    gb = jnp.dot(gbar.astype(B.dtype), s_gb,
+                 preferred_element_type=B.dtype)  # [N, L*W4] (MXU expansion)
     j = _iota2((L * W4, H), 0)
     m = _iota2((L * W4, H), 1)
     s_c = _sel(((j % W4) % W) // Fl == m, B.dtype)
