@@ -167,13 +167,13 @@ class SamplingConfig(ConfigBase):
     adaptive_budget_headroom: float = 1.3
     adaptive_budget_interval: int = 500  # steps between re-evaluations
     # hard cap on how far the budget may GROW, in units of sample chunks
-    # (max_n_samples_per_batch): every chunk stacks its encode residuals
-    # [chunk, L*4W] across the lax.map, so an uncapped early-training budget
-    # (un-carved grid => fill ~ R*S) OOMs the flagship model (measured: a
-    # 458k budget = 7 chunks stacks 3.5 GB of bf16 B-residuals alone on a
-    # 16 GB chip). Early budget drops are nearest-slots-first and transient
-    # (the grid carves within ~1k steps). -1 = uncapped.
-    adaptive_budget_max_chunks: int = 3
+    # (max_n_samples_per_batch): every budget sample stores its encode
+    # residuals across the lax.map (~2.5 KB/sample with the folded BH + bf16
+    # CG residuals), so an uncapped early-training budget (un-carved grid =>
+    # fill ~ R*S) OOMs the flagship model. Budget overflow is dropped
+    # nearest-slots-first and is transient (the grid carves within ~1k
+    # steps). -1 = uncapped.
+    adaptive_budget_max_chunks: int = 5
 
 
 @dataclass

@@ -17,8 +17,8 @@ TPU performance design (measured on v5e; history in PERF.md):
    whose row packs every logical table's features (W = H * F_l).
 2. **XZ-quad rows** (this file's core trick): the index layout is chosen so
    that BOTH the x+1 and the z+1 neighbor of any vertex are a FIXED per-level
-   stride away (dense levels: ``idx = y + SX*x + SZ*z`` with 8-aligned SX,
-   SZ; hashed levels: an additive hash ``idx = (y*p1 + x*SX + z*SZ) mod 2^M``
+   stride away (dense levels: ``idx = y + SX*x + SZ*z`` with tile-aligned
+   SX, SZ; hashed levels: an additive hash ``idx = (y*p1 + x*SX + z*SZ) mod 2^M``
    — unlike tcnn's pure-XOR hash, whose neighbors are data-dependent). The
    per-step ``build_quad_table`` packs each entry's own features and those of
    its x-, z- and xz-successors into one [E, 4W] row (cheap tile-aligned
@@ -91,11 +91,10 @@ class HashGridLevels:
                base_resolution: int = 16,
                per_level_scale: float = 1.4472692012786865) -> "HashGridLevels":
         """Every segment size, offset, and x/z-stride is a multiple of 32
-        rows. The quad build/fold rolls run on a row-paired [E/2, 2W] view of
-        the canonical [E, W] table (W = 64 is half a 128-lane tile; the
-        paired view moves full tiles) — 32-row alignment keeps every segment
-        boundary tile-aligned in that view (16 bf16 sublanes x 2 rows).
-        Misaligned rolls measured 211 ms vs ~10 ms on v5e round 1."""
+        rows, so the per-level rolls/slices of build_quad_table (and their
+        gradient fold) stay tile-aligned for both f32 (8-row) and bf16
+        (16-row) sublane tiles with headroom. Misaligned rolls measured
+        211 ms vs ~10 ms on v5e round 1."""
         align = 32
         max_size = 2 ** log2_hashmap_size
         mask = max_size - 1
@@ -384,15 +383,17 @@ def hash_encode_blended(quad_table: jnp.ndarray, x: jnp.ndarray,
                          * table[idx[n,l,corner], h*Fl + f]
 
     Custom VJP: the backward pass needs NO re-gather. The forward saves two
-    blend residuals —
-        CG[n, (c,l), q, f] = sum_h code_h * rows          (code-blended quarters)
-        B [n, l, k]        = sum_c wy * u_q(k) * rows     (weight-blended rows)
+    compact blend residuals (residual bytes per sample bound the compaction
+    budget, so both are stored small and in the table dtype) —
+        CG[n, (c,l), q, f] = sum_h code_h * rows       (code-blended quarters)
+        BH[n, l, h*Fl+f]   = sum_{c,q} wy * u_q * rows (weight-blended rows,
+                                                        quarters folded)
     — from which every gradient follows analytically:
         d rows[(c,l), k] = wy * u_q(k) * code_h(k) * gbar[l, f(k)]  (scatter)
         d wy[(c,l)]      = sum_{q,f} u_q * CG * gbar
         d fx[l]          = sum_{c,q,f} wy * CG * gbar * sx_q * wz_q
         d fz[l]          = sum_{c,q,f} wy * CG * gbar * wx_q * sz_q
-        d code[h]        = sum_{l,k: h(k)=h} gbar[l, f(k)] * B[l, k]
+        d code[h]        = sum_{l,f} gbar[l, f] * BH[l, h*Fl+f]
     with sx = (-,-,+,+), sz = (-,+,-,+) the quarter sign patterns.
     """
     entry_idx, wy, fx, fz = hash_grid_indices(x, levels, smoothstep)
@@ -450,8 +451,11 @@ def _blended_fwd_impl(quad_table, code, entry_idx, wy, fx, fz, L, Fl):
     w_fl = jnp.repeat(wy, Fl, axis=1)  # [N, 2L*Fl]
     out = _sum_corners(G * w_fl)  # [N, L*Fl]
 
-    # B[n, l*W4 + k] = sum_c wy * u_q * rows (for d_code); computed and
-    # stored in the table dtype (bf16 residual in production). The small
+    # BH[n, l*W + w] = sum_{c,q} wy * u_q * rows (for d_code); the quarter
+    # axis is folded out before storing, so the residual is [N, L*W] — 4x
+    # smaller than the full weight-blended rows. Residual memory is what
+    # caps the compaction budget (every budget sample stores its residuals
+    # across the lax.map), so this directly buys budget headroom. The small
     # per-(corner-level, quarter) weights wy * u are combined FIRST, then
     # MXU-expanded to the wide row shape.
     u4 = _quad_weights(fx, fz, 1, tile=1)  # [N, L*4] (l, q)-major
@@ -459,18 +463,19 @@ def _blended_fwd_impl(quad_table, code, entry_idx, wy, fx, fz, L, Fl):
           * jnp.tile(u4, (1, 2)).reshape(n, 2 * L, _N_QUARTERS)
           ).reshape(n, 2 * L * _N_QUARTERS)  # [N, 2L*4] ((cl), q)-major
     wu_rep = _expand_mm(wu, _s_wu(L, W4, mm_dtype))  # [N, 2L*W4]
-    B = _sum_corners(rows * wu_rep)
-    return out, (CG, B)
+    B = _sum_corners(rows * wu_rep)  # [N, L*W4] (transient)
+    BH = B.reshape(n, L, _N_QUARTERS, W).sum(axis=2).reshape(n, L * W)
+    return out, (CG.astype(mm_dtype), BH)
 
 
 def _blended_vjp_fwd(quad_table, code, entry_idx, wy, fx, fz, L, Fl):
-    out, (CG, B) = _blended_fwd_impl(quad_table, code, entry_idx, wy, fx, fz,
-                                     L, Fl)
-    return out, (CG, B, code, entry_idx, wy, fx, fz, quad_table.shape)
+    out, (CG, BH) = _blended_fwd_impl(quad_table, code, entry_idx, wy, fx, fz,
+                                      L, Fl)
+    return out, (CG, BH, code, entry_idx, wy, fx, fz, quad_table.shape)
 
 
 def _blended_vjp_bwd(L, Fl, residuals, gbar):
-    CG, B, code, entry_idx, wy, fx, fz, table_shape = residuals
+    CG, BH, code, entry_idx, wy, fx, fz, table_shape = residuals
     E, W4 = table_shape
     W = W4 // _N_QUARTERS
     n = code.shape[0]
@@ -499,23 +504,24 @@ def _blended_vjp_bwd(L, Fl, residuals, gbar):
     d_fx = jnp.dot(core * pat_fx, s_lvl, preferred_element_type=jnp.float32)
     d_fz = jnp.dot(core * pat_fz, s_lvl, preferred_element_type=jnp.float32)
 
-    # d code: B already carries wy and u, so d_code[h] = sum gbar[l,f(k)] * B[l,k]
-    j = _iota2((L * Fl, L * W4), 0)
-    m = _iota2((L * Fl, L * W4), 1)
-    s_gb = _sel((m // W4 == j // Fl) & ((m % W4) % W % Fl == j % Fl), B.dtype)
-    gb = jnp.dot(gbar.astype(B.dtype), s_gb,
-                 preferred_element_type=B.dtype)  # [N, L*W4] (MXU expansion)
-    j = _iota2((L * W4, H), 0)
-    m = _iota2((L * W4, H), 1)
-    s_c = _sel(((j % W4) % W) // Fl == m, B.dtype)
-    d_code = jnp.dot(B * gb, s_c, preferred_element_type=jnp.float32)
+    # d code: BH already carries wy and u with quarters folded, so
+    # d_code[h] = sum_{l,f} gbar[l,f] * BH[l, h*Fl + f]
+    j = _iota2((L * Fl, L * W), 0)
+    m = _iota2((L * Fl, L * W), 1)
+    s_gb = _sel((m // W == j // Fl) & ((m % W) % Fl == j % Fl), BH.dtype)
+    gb = jnp.dot(gbar.astype(BH.dtype), s_gb,
+                 preferred_element_type=BH.dtype)  # [N, L*W] (MXU expansion)
+    j = _iota2((L * W, H), 0)
+    m = _iota2((L * W, H), 1)
+    s_c = _sel((j % W) // Fl == m, BH.dtype)
+    d_code = jnp.dot(BH * gb, s_c, preferred_element_type=jnp.float32)
 
     # d table rows: analytic, then ONE scatter-add. The three sample-small
     # factors (gbar, wy, u) combine on the [N, 2L*4Fl] shape FIRST, then two
     # MXU one-hot matmuls expand to the wide [N, 2L*W4] row shape (S_m is
     # exactly S_cg transposed) — no VPU tile/repeat passes. Everything wide
     # runs in the quad table's dtype (bf16 in production; f32 in tests).
-    dt = B.dtype
+    dt = BH.dtype
     H_ = W // Fl
     m_small = g_q * uw_fl * w_4fl  # [N, 2L*4Fl]
     m_rep = jnp.dot(m_small.astype(dt), _s_cg(L, W4, Fl, dt).T,
