@@ -84,7 +84,7 @@ def main():
             "height": height, "width": width,
         }
         return trainer.render_image(image_rays, step=checkpoint,
-                                    chunk=args.chunk)
+                                    chunk=args.chunk, budget="auto")
 
     render(0)  # warmup/compile
     t0 = time.perf_counter()
@@ -102,6 +102,7 @@ def main():
             "rays_per_frame": height * width,
             "ms_per_frame": round(dt / args.frames * 1000, 1),
             "chunk": args.chunk,
+            "auto_budget": getattr(trainer, "_auto_render_budget", None),
             "run": run,
         },
     }))
