@@ -166,6 +166,17 @@ class SamplingConfig(ConfigBase):
     adaptive_budget: bool = True
     adaptive_budget_headroom: float = 1.3
     adaptive_budget_interval: int = 500  # steps between re-evaluations
+    # Eval-time coarse prefilter (render-path sampler wall, PERF.md render
+    # section): probe a one-cell-DILATED occupancy grid every
+    # ``eval_prefilter_stride`` candidate steps to find each ray's first
+    # occupied t, then march only ``eval_fine_candidates`` fine steps from
+    # one stride before it. Dilation makes the coarse probe conservative
+    # (cannot miss an occupied cell); rays whose occupied span outruns the
+    # fine window lose only far-tail samples (transmittance there is
+    # negligible on a carved grid). Training always marches the full span.
+    eval_coarse_prefilter: bool = True
+    eval_prefilter_stride: int = 8
+    eval_fine_candidates: int = 512
     # hard cap on how far the budget may GROW, in units of sample chunks
     # (max_n_samples_per_batch): every budget sample stores its encode
     # residuals across the lax.map (~2.5 KB/sample with the folded BH + bf16
@@ -339,6 +350,15 @@ class ParallelConfig(ConfigBase):
     # inserts the collectives); frees ~2/3 of the table's optimizer HBM per
     # chip — the moments are the largest state after the params themselves.
     shard_table_optimizer: bool = True
+    # ZeRO-3 entry-sharded table pipeline (the 8-chip table-gradient layout,
+    # PERF.md trajectory): the f32 master table AND its Adam moments live
+    # sharded [E/devices, W] over the data axis. Forward casts the shard to
+    # bf16 and all-gathers it (half the bytes of an f32 gather) before the
+    # quad build; backward reduce-scatters the folded bf16 table gradient so
+    # the fused Adam update runs on the local entry shard. Single-device:
+    # no-op. Takes precedence handling: disabled when shard_hash_tables (TP)
+    # is active.
+    shard_table_params: bool = True
 
 
 @dataclass

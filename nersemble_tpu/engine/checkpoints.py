@@ -82,6 +82,9 @@ def save_checkpoint(path, step: int, params, opt_state, grid_occs,
 
 
 def load_checkpoint(path, params_template, opt_state_template, grid_occs_template):
+    """Returns (step, params, opt_state, grid_occs, extra) — ``extra`` is the
+    free-form scalar dict passed to :func:`save_checkpoint` (empty for
+    checkpoints written before it existed)."""
     with np.load(Path(path), allow_pickle=False) as data:
         flat = {k: data[k] for k in data.files}
     step = int(flat["step"])
@@ -91,7 +94,9 @@ def load_checkpoint(path, params_template, opt_state_template, grid_occs_templat
     opt_state = _tree_to_opt_state(opt_state_template, opt_tree)
     grid_occs = np.asarray(flat["grid_occs"],
                            dtype=np.asarray(grid_occs_template).dtype)
-    return step, params, opt_state, grid_occs
+    extra = {k[len("extra/"):]: flat[k] for k in flat
+             if k.startswith("extra/") and "__" not in k}
+    return step, params, opt_state, grid_occs, extra
 
 
 def _opt_state_to_tree(opt_state):

@@ -118,6 +118,8 @@ class NeRSembleTrainer:
         self.grid_occs = self.model.init_grid_occs()
         self.start_step = 0
         self.key_to_group = group_of_param(self.model.param_groups(self.params))
+        self._auto_render_budget = None  # probed lazily by render_image
+        self._loaded_budget = None  # adaptive train budget from a checkpoint
 
         if config.load_dir is not None:
             self._load_checkpoint()
@@ -146,15 +148,25 @@ class NeRSembleTrainer:
 
     def _build_param_shardings(self):
         """Pytree of NamedShardings for the params: everything replicated
-        except (optionally) the hash table, sharded [C/devices, ...] over the
-        mesh's data axis — the TP layout of SURVEY.md section 2c. The Adam
-        moments inherit these shardings via optimizer.init."""
+        except the hash table, which may be (a) feature-axis sharded
+        [E, W/devices] — the TP layout of SURVEY.md section 2c — or (b)
+        entry-axis sharded [E/devices, W] — the ZeRO-3 table-gradient
+        pipeline (PERF.md trajectory): forward casts the shard to bf16 and
+        all-gathers; backward reduce-scatters the folded bf16 gradient so
+        fold+Adam state updates touch only the local shard."""
         from jax.sharding import NamedSharding, PartitionSpec as P
         replicated = mesh_lib.replicated(self.mesh)
-        # feature-axis sharding: gathers stay shard-local, the blend matmul
-        # contracts over the sharded axis (GSPMD inserts the all-reduce)
-        table_sharding = NamedSharding(self.mesh, P(None, "data")) \
-            if self.config.model.shard_hash_tables else replicated
+        pcfg = self.config.parallel
+        table_sharding = replicated
+        if self.config.model.shard_hash_tables:
+            # feature-axis TP: gathers stay shard-local, the blend matmul
+            # contracts over the sharded axis (GSPMD inserts the all-reduce)
+            table_sharding = NamedSharding(self.mesh, P(None, "data"))
+        elif (pcfg.shard_table_params and self.n_devices > 1
+              and self.params["field"]["table"].shape[0]
+              % self.n_devices == 0):
+            table_sharding = NamedSharding(self.mesh, P("data", None))
+            self.model.table_replicate_sharding = replicated
 
         def spec(path, leaf):
             keys = tuple(getattr(k, "key", None) for k in path)
@@ -167,11 +179,15 @@ class NeRSembleTrainer:
     def _moment_shardings(self):
         """Shardings for the Adam moments: same as the params, except the
         hash table's moments are optionally ZeRO-sharded over the mesh's
-        data axis (entry-axis shards; params stay replicated for compute,
-        GSPMD inserts the collectives around the optimizer update)."""
+        data axis even when the PARAM stays replicated (entry-axis shards;
+        GSPMD inserts the collectives around the optimizer update). Under
+        the full ZeRO-3 layout (shard_table_params) the param sharding
+        already IS entry-sharded and the moments simply follow it."""
         from jax.sharding import NamedSharding, PartitionSpec as P
         cfg = self.config.parallel
         E = self.params["field"]["table"].shape[0]
+        if self.model.table_replicate_sharding is not None:
+            return self.param_shardings  # ZeRO-3: moments follow the shard
         if (not cfg.shard_table_optimizer or self.n_devices == 1
                 or self.config.model.shard_hash_tables
                 or E % self.n_devices != 0):
@@ -257,6 +273,11 @@ class NeRSembleTrainer:
             self._budget = min(
                 self._budget,
                 scfg.adaptive_budget_max_chunks * cfg.model.max_n_samples_per_batch)
+        if self._loaded_budget is not None:
+            # resume with the ADAPTED budget the checkpoint trained with —
+            # restarting from the config formula would silently drop samples
+            # for up to adaptive_budget_interval steps after every resume
+            self._budget = min(int(self._loaded_budget), R * S)
         self._sample_counts = []
         self._budget_drops = []
 
@@ -280,6 +301,8 @@ class NeRSembleTrainer:
             kept = {k: out[k] for k in keep if k in out}
             kept["_n_valid"] = jnp.sum(out["num_samples_per_ray"]) \
                 + out.get("num_budget_dropped", 0)
+            kept["_n_budget_dropped"] = out.get("num_budget_dropped",
+                                                jnp.int32(0))
             return kept
 
         def make_render_chunk(budget):
@@ -336,6 +359,9 @@ class NeRSembleTrainer:
         """AND an extra [G, G, G] bool mask (e.g. the eval-time largest-
         connected-component filter) into the sampling binaries."""
         self.grid_mask = self.grid_mask & jnp.asarray(mask)
+        # a budget probed on the old binaries is stale (the mask changes the
+        # per-chunk sample fill) — re-probe on the next auto-budget render
+        self._auto_render_budget = None
 
     def _maybe_adapt_budget(self, step: int, aux) -> None:
         """Re-size the compaction budget to the measured valid-sample count
@@ -516,13 +542,24 @@ class NeRSembleTrainer:
         valid-sample fill, and compile a right-sized compaction budget for
         every following chunk. The default eval budget (R * S * fraction) is
         fill-oblivious and evaluated ~23x more samples than the rays
-        contained on the measured scene (PERF.md render section)."""
+        contained on the measured scene (PERF.md render section).
+
+        Budget overflow is never silent: any budgeted chunk that reports
+        ``num_budget_dropped > 0`` (probe biased low, denser view/timestep,
+        budget cached before a grid-mask or checkpoint change) is re-rendered
+        un-budgeted at the end, and the cached budget grows to cover it."""
         chunk = chunk or self.config.data.eval_num_rays_per_batch
         chunk = mesh_lib.pad_to_multiple(chunk, self.n_devices)
         H, W = image_rays["height"], image_rays["width"]
         n = H * W
         sched = self.sched_values(step)
-        outs = {"rgb": [], "depth": [], "accumulation": [], "deformation": []}
+        S = self.config.model.sampling.max_samples_per_ray
+
+        def quantize(fill: float) -> int:
+            b = int(fill * 1.5)
+            return min(max(-(-b // 8192) * 8192, 8192), chunk * S)
+
+        results = []  # [lo, hi, out, used_budget, device_batch]
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
             pad = chunk - (hi - lo)
@@ -535,7 +572,7 @@ class NeRSembleTrainer:
             batch = mesh_lib.shard_batch(sl, self.mesh)
             use_budget = None
             if budget == "auto":
-                probe = getattr(self, "_auto_render_budget", None)
+                probe = self._auto_render_budget
                 if probe is None and lo == 0:
                     pass  # probe chunk: run un-budgeted, measure below
                 else:
@@ -547,17 +584,28 @@ class NeRSembleTrainer:
                     self._make_render_chunk(use_budget)
             out = self._render_chunks[use_budget](self.params, self.grid_occs,
                                                   self.grid_mask, batch, sched)
-            if budget == "auto" and getattr(self, "_auto_render_budget",
-                                            None) is None:
-                fill = float(out["_n_valid"])
-                S = self.config.model.sampling.max_samples_per_ray
-                b = int(fill * 1.5)
-                self._auto_render_budget = min(
-                    max(-(-b // 8192) * 8192, 8192), chunk * S)
+            if budget == "auto" and self._auto_render_budget is None:
+                self._auto_render_budget = quantize(float(out["_n_valid"]))
+            # keep DEVICE arrays here: a per-chunk np.asarray would block the
+            # dispatch pipeline on every chunk's transfer
+            results.append([lo, hi, out, use_budget, batch])
+
+        if budget == "auto":
+            # overflow safety net (the scalar fetch syncs only after every
+            # chunk has been dispatched, so the pipeline stays full)
+            for rec in results:
+                if rec[3] is None or float(rec[2]["_n_budget_dropped"]) <= 0:
+                    continue
+                rec[2] = self._render_chunks[None](
+                    self.params, self.grid_occs, self.grid_mask, rec[4], sched)
+                self._auto_render_budget = max(
+                    self._auto_render_budget or 0,
+                    quantize(float(rec[2]["_n_valid"])))
+
+        outs = {"rgb": [], "depth": [], "accumulation": [], "deformation": []}
+        for lo, hi, out, _, _ in results:
             for key in outs:
                 if key in out:
-                    # keep DEVICE arrays here: a per-chunk np.asarray would
-                    # block the dispatch pipeline on every chunk's transfer
                     outs[key].append((out[key], hi - lo))
         return {key: np.concatenate([np.asarray(a)[:n_valid]
                                      for a, n_valid in vals]).reshape(H, W, -1)
@@ -636,8 +684,11 @@ class NeRSembleTrainer:
 
     def save_checkpoint(self, step: int) -> None:
         path = self.checkpoint_dir() / f"step-{step:09d}.ckpt"
+        # the adapted compaction budget is training state: resume must pick
+        # up exactly where the run left off (VERDICT r2 weak #5)
+        extra = {"sample_budget": np.asarray(getattr(self, "_budget", 0))}
         checkpoints.save_checkpoint(path, step, self.params, self.opt_state,
-                                    self.grid_occs)
+                                    self.grid_occs, extra=extra)
         if self.config.save_only_latest_checkpoint:
             checkpoints.prune_old_checkpoints(self.checkpoint_dir(), step)
 
@@ -651,9 +702,12 @@ class NeRSembleTrainer:
             if not steps:
                 raise FileNotFoundError(f"No checkpoints in {load_dir}")
             path = load_dir / f"step-{steps[-1]:09d}.ckpt"
-        step, params, opt_state, grid_occs = checkpoints.load_checkpoint(
+        step, params, opt_state, grid_occs, extra = checkpoints.load_checkpoint(
             path, self.params, self.opt_state, self.grid_occs)
         self.params = jax.device_put(params, self.param_shardings)
         self.opt_state = jax.device_put(opt_state, self.opt_shardings)
         self.grid_occs = jnp.asarray(grid_occs)
         self.start_step = step + 1
+        if int(extra.get("sample_budget", 0)) > 0:
+            self._loaded_budget = int(extra["sample_budget"])
+        self._auto_render_budget = None

@@ -20,10 +20,10 @@ import jax.numpy as jnp
 from nersemble_tpu.config import ModelConfig
 from nersemble_tpu.ops.hash_encoding import (
     HashGridLevels,
-    build_quad_table,
     hash_encode,
     hash_encode_blended,
     init_hash_table,
+    quad_from_cast,
 )
 from nersemble_tpu.ops.hash_ensemble import effective_blend_code
 from nersemble_tpu.ops.fused_mlp import fused_mlp_apply
@@ -94,18 +94,28 @@ def normalize_positions(positions, aabb_min, aabb_max):
     return (positions - aabb_min) / (aabb_max - aabb_min)
 
 
-def prepare_field(field_params, config: ModelConfig, levels: HashGridLevels):
+def prepare_field(field_params, config: ModelConfig, levels: HashGridLevels,
+                  replicate_sharding=None):
     """Per-step table preparation, hoisted OUT of the sample-chunk loop.
 
-    Builds the z-paired gather operand [E, 2W] (see
+    Builds the xz-quad gather operand [E, 4W] (see
     hash_encoding.build_quad_table) once per train/render step in the
     table compute dtype (bf16 by default — tcnn runs its hash grids in fp16,
     reference: environment.yml tiny-cuda-nn). Differentiable: gradients fold
     back onto the canonical [E, W] f32 table.
+
+    ``replicate_sharding``: set by the trainer under the ZeRO-3 entry-sharded
+    table layout (ParallelConfig.shard_table_params). The cast to bf16 runs
+    on the [E/devices, W] shard, THEN the sharding constraint forces the
+    all-gather on the bf16 array (half the bytes), and the quad rolls run
+    replicated. Its transpose is the bf16 reduce-scatter of the folded table
+    gradient onto the entry shard, where the fused Adam update runs.
     """
     prepared = dict(field_params)
-    prepared["table_quad"] = build_quad_table(
-        field_params["table"], levels, dtype=jnp.dtype(config.table_dtype))
+    t_cast = field_params["table"].astype(jnp.dtype(config.table_dtype))
+    if replicate_sharding is not None:
+        t_cast = jax.lax.with_sharding_constraint(t_cast, replicate_sharding)
+    prepared["table_quad"] = quad_from_cast(t_cast, levels)
     return prepared
 
 

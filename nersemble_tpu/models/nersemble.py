@@ -60,6 +60,11 @@ class NeRSembleModel:
         self.background = jnp.asarray(_BACKGROUNDS[config.background_color],
                                       jnp.float32)
         self.compute_dtype = jnp.dtype(config.compute_dtype)
+        # ZeRO-3 entry-sharded table layout: set by the trainer to the
+        # replicated NamedSharding of its mesh (not config — shardings are
+        # runtime objects). prepare_field then places the bf16 all-gather
+        # between the shard-local cast and the quad rolls.
+        self.table_replicate_sharding = None
         # grid_levels > 1: nerfacc-style cascade, level l covers the base box
         # scaled by 2^l (reference config surface: train_nersemble.py:102;
         # nerfacc OccGridEstimator(levels=...)). State is flat [L*G^3].
@@ -178,7 +183,8 @@ class NeRSembleModel:
         (reference field_density_fn: nersemble_instant_ngp.py:235-266)."""
         cfg = self.config
         # z-paired gather operand, built ONCE (outside the chunk loop)
-        fparams = prepare_field(params["field"], cfg, self.levels)
+        fparams = prepare_field(params["field"], cfg, self.levels,
+                                replicate_sharding=self.table_replicate_sharding)
 
         def body(positions, timesteps):
             tc, tc_def = self._time_codes(params, timesteps)
@@ -229,7 +235,14 @@ class NeRSembleModel:
         if cfg.disable_occupancy_grid:
             b = jnp.ones(shape, bool)
             if frustum_grid is not None:
-                b = b & frustum_grid  # broadcasts over the level axis
+                if levels == 1:
+                    b = b & frustum_grid
+                else:
+                    # the frustum grid is laid out on the BASE level's AABB;
+                    # coarser cascade levels cover a box scaled 2^l and lie
+                    # outside every training frustum by construction — mirror
+                    # occupancy_binaries' at[:G^3] handling
+                    b = b.at[0].set(frustum_grid)
             return b
         return occupancy_binaries(grid_occs, cfg.occ_thre,
                                   frustum_grid).reshape(shape)
@@ -257,11 +270,34 @@ class NeRSembleModel:
         if train and rng is not None:
             jitter = jax.random.uniform(rng, (R,))
 
+        # eval-time coarse prefilter (render wall, PERF.md render section):
+        # find each ray's first occupied t on a dilated grid at a coarse
+        # stride, then march a short fine window from there — shrinks the
+        # top_k/compaction input ~n_cand/eval_fine_candidates x.
+        scfg = cfg.sampling
+        start_steps = None
+        if (not train and scfg.eval_coarse_prefilter and binaries is not None
+                and not cfg.disable_occupancy_grid
+                and scfg.eval_fine_candidates < n_cand):
+            from nersemble_tpu.ops.sampling import (
+                coarse_entry_steps,
+                dilate_binaries,
+                march_range,
+            )
+            t_near, t_far = march_range(origins, directions, self.aabb_min,
+                                        self.aabb_max, binaries,
+                                        cfg.near_plane, cfg.far_plane)
+            start_steps = coarse_entry_steps(
+                origins, directions, t_near, t_far, dilate_binaries(binaries),
+                self.aabb_min, self.aabb_max, cfg.render_step_size, n_cand,
+                scfg.eval_prefilter_stride, cfg.cone_angle)
+            n_cand = max(scfg.eval_fine_candidates, S)
+
         samples, info = march_rays(
             origins, directions, self.aabb_min, self.aabb_max,
             cfg.render_step_size, n_cand, S, binaries=binaries,
             near_plane=cfg.near_plane, far_plane=cfg.far_plane, jitter=jitter,
-            cone_angle=cfg.cone_angle)
+            cone_angle=cfg.cone_angle, start_steps=start_steps)
 
         timesteps = rays.get("timesteps")
         if timesteps is None:
@@ -271,7 +307,8 @@ class NeRSembleModel:
             cam_idx = jnp.zeros((R,), jnp.int32)
 
         # z-paired gather operand, built ONCE (outside the chunk loop)
-        fparams = prepare_field(params["field"], cfg, self.levels)
+        fparams = prepare_field(params["field"], cfg, self.levels,
+                                replicate_sharding=self.table_replicate_sharding)
 
         def body(pos, ts, dirs, cam):
             tc, tc_def = self._time_codes(params, ts)
@@ -361,6 +398,24 @@ class NeRSembleModel:
             delta = samples.t_ends - samples.t_starts
             alpha_raw = 1.0 - jnp.exp(-jax.lax.stop_gradient(sigmas) * delta)
             keep = alpha_raw >= cfg.alpha_thre
+            samples = samples._replace(mask=samples.mask & keep)
+            sigmas = sigmas * keep
+
+        # early_stop_eps > 0: nerfacc terminates a ray once its accumulated
+        # transmittance falls below eps (OccGridEstimator.sampling's sigma_fn
+        # early stop, nersemble_volumetric_sampler.py:104) — the dropped
+        # samples neither render nor receive gradients. T is monotone
+        # non-increasing along the ray, so the drop is a per-ray suffix:
+        # keep sample i iff T_i (transmittance BEFORE i, no-grad like the
+        # reference's no-grad sampler) >= eps. The reference trains with
+        # eps = 0 ("otherwise scene may start exploding",
+        # train_nersemble.py:192), so this branch is compile-time dead in the
+        # flagship config.
+        if cfg.early_stop_eps > 0:
+            _, trans_ng = render_weights(jax.lax.stop_gradient(sigmas),
+                                         samples.t_starts, samples.t_ends,
+                                         samples.mask)
+            keep = trans_ng >= cfg.early_stop_eps
             samples = samples._replace(mask=samples.mask & keep)
             sigmas = sigmas * keep
 

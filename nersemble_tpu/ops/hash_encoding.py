@@ -40,9 +40,12 @@ TPU performance design (measured on v5e; history in PERF.md):
    quad build folds the three successor quarters back onto the canonical
    entries with inverse rolls).
 5. **bf16 quad table**: the gathered operand is bf16 (halves gather traffic
-   and the quad-table copy); master params stay f32. The scatter-add
-   accumulates in the quad table's dtype (bf16 in production — same
-   precision class as tcnn's fp16 atomic grid-gradient accumulation).
+   and the quad-table copy); master params stay f32. The backward scatter-add
+   accumulates the HOT dense-prefix rows in f32 (bf16 SATURATES there:
+   once the sum exceeds ~256x an increment the 8-bit mantissa truncates
+   every late add — measured -50..-80% gradient mass) and the sparse hashed
+   levels in the table dtype (production fill is a few rows/entry, where
+   bf16 is accurate; tcnn fp16-atomics precedent).
 6. **Tensor parallelism** = shard the canonical table's FEATURE axis
    [E, W] -> [E, W/devices]; the quad build concatenates along that same
    axis and GSPMD turns the blend matmul's contraction into an all-reduce
@@ -168,16 +171,69 @@ def build_quad_table(table: jnp.ndarray, levels: HashGridLevels,
     cyclic rolls, i.e. pure contiguous copies (HBM-bandwidth bound, ~ms for
     the flagship table). Differentiable: the transpose folds the successor
     gradient quarters back onto the canonical entries with inverse rolls.
+
+    The cast runs FIRST (rolls then move half the bytes); under the
+    entry-sharded (ZeRO-3) table layout the caller may want the replication
+    collective between the cast and the rolls — use
+    ``quad_from_cast(table.astype(dtype), levels)`` directly for that.
     """
-    table = table.astype(dtype)  # cast FIRST: rolls move half the bytes
-    # ONE concat of four rolled copies (no [E, 2W] pair intermediate — that
-    # extra 1.5 GB materialization OOMed the flagship step on a 16 GB chip)
+    return quad_from_cast(table.astype(dtype), levels)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def quad_from_cast(table: jnp.ndarray, levels: HashGridLevels) -> jnp.ndarray:
+    """Quad build on an already-cast table, with a hand-written transpose.
+
+    Forward: ONE concat of four rolled copies (no [E, 2W] pair intermediate —
+    that extra 1.5 GB materialization OOMed the flagship step on a 16 GB
+    chip). Backward ("the quad-gradient fold"): the autodiff transpose
+    materialized three full-table rolled gradient copies plus a 4-way add —
+    measured 39 ms/step on v5e for the flagship table. The custom backward
+    folds per LEVEL SEGMENT (one fused slice+3-roll+add pass per level, f32
+    accumulation element-wise), touching each gradient byte once.
+    """
+    return _quad_fwd_impl(table, levels)
+
+
+def _quad_fwd_impl(table, levels):
     xz = tuple(sx + sz for sx, sz in zip(levels.x_strides, levels.z_strides))
     return jnp.concatenate(
         [table,
          _roll_levels(table, levels, levels.z_strides),
          _roll_levels(table, levels, levels.x_strides),
          _roll_levels(table, levels, xz)], axis=1)
+
+
+def _quad_vjp_fwd(table, levels):
+    return _quad_fwd_impl(table, levels), None
+
+
+def _quad_vjp_bwd(levels, _res, g):
+    """d_quad [E, 4W] -> d_canonical [E, W]: per-level fused fold.
+
+    Quarter q's gradient for canonical entry e lives at quad row
+    ``(e - stride_q) % size_l`` — an INVERSE (positive) roll. Slicing the
+    level segment first keeps each roll+add a small fusable unit; arithmetic
+    is f32 regardless of the (usually bf16) gradient dtype.
+    """
+    W = g.shape[1] // _N_QUARTERS
+    segs = []
+    for l in range(levels.n_levels):
+        size = levels.sizes[l]
+        seg = jax.lax.slice_in_dim(g, levels.offsets[l],
+                                   levels.offsets[l] + size, axis=0)
+        sx = levels.x_strides[l] % size
+        sz = levels.z_strides[l] % size
+        acc = seg[:, :W].astype(jnp.float32) \
+            + jnp.roll(seg[:, W:2 * W], sz, axis=0).astype(jnp.float32) \
+            + jnp.roll(seg[:, 2 * W:3 * W], sx, axis=0).astype(jnp.float32) \
+            + jnp.roll(seg[:, 3 * W:4 * W], (sx + sz) % size,
+                       axis=0).astype(jnp.float32)
+        segs.append(acc.astype(g.dtype))
+    return (jnp.concatenate(segs, axis=0),)
+
+
+quad_from_cast.defvjp(_quad_vjp_fwd, _quad_vjp_bwd)
 
 
 def hash_grid_indices(x: jnp.ndarray, levels: HashGridLevels,
@@ -398,11 +454,23 @@ def hash_encode_blended(quad_table: jnp.ndarray, x: jnp.ndarray,
     """
     entry_idx, wy, fx, fz = hash_grid_indices(x, levels, smoothstep)
     return _blended_core(quad_table, code.astype(jnp.float32), entry_idx,
-                         wy, fx, fz, levels.n_levels, features_per_logical)
+                         wy, fx, fz, levels.n_levels, features_per_logical,
+                         dense_split(levels))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _blended_core(quad_table, code, entry_idx, wy, fx, fz, L, Fl):
+def dense_split(levels: HashGridLevels) -> Tuple[int, int]:
+    """(n_dense_levels, n_dense_entries): the dense levels are always a
+    PREFIX of both the level list and the entry axis (sizes grow
+    monotonically until the hash cap), so the hot/cold scatter split below
+    is two contiguous slices."""
+    for l in range(levels.n_levels):
+        if levels.hashed[l]:
+            return l, levels.offsets[l]
+    return levels.n_levels, levels.total_entries
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _blended_core(quad_table, code, entry_idx, wy, fx, fz, L, Fl, dsplit):
     out, _ = _blended_fwd_impl(quad_table, code, entry_idx, wy, fx, fz, L, Fl)
     return out
 
@@ -468,13 +536,13 @@ def _blended_fwd_impl(quad_table, code, entry_idx, wy, fx, fz, L, Fl):
     return out, (CG.astype(mm_dtype), BH)
 
 
-def _blended_vjp_fwd(quad_table, code, entry_idx, wy, fx, fz, L, Fl):
+def _blended_vjp_fwd(quad_table, code, entry_idx, wy, fx, fz, L, Fl, dsplit):
     out, (CG, BH) = _blended_fwd_impl(quad_table, code, entry_idx, wy, fx, fz,
                                       L, Fl)
     return out, (CG, BH, code, entry_idx, wy, fx, fz, quad_table.shape)
 
 
-def _blended_vjp_bwd(L, Fl, residuals, gbar):
+def _blended_vjp_bwd(L, Fl, dsplit, residuals, gbar):
     CG, BH, code, entry_idx, wy, fx, fz, table_shape = residuals
     E, W4 = table_shape
     W = W4 // _N_QUARTERS
@@ -516,7 +584,7 @@ def _blended_vjp_bwd(L, Fl, residuals, gbar):
     s_c = _sel((j % W) // Fl == m, BH.dtype)
     d_code = jnp.dot(BH * gb, s_c, preferred_element_type=jnp.float32)
 
-    # d table rows: analytic, then ONE scatter-add. The three sample-small
+    # d table rows: analytic, then scatter-add. The three sample-small
     # factors (gbar, wy, u) combine on the [N, 2L*4Fl] shape FIRST, then two
     # MXU one-hot matmuls expand to the wide [N, 2L*W4] row shape (S_m is
     # exactly S_cg transposed) — no VPU tile/repeat passes. Everything wide
@@ -527,8 +595,41 @@ def _blended_vjp_bwd(L, Fl, residuals, gbar):
     m_rep = jnp.dot(m_small.astype(dt), _s_cg(L, W4, Fl, dt).T,
                     preferred_element_type=dt)  # [N, 2L*W4]
     code_rep = _expand_mm(code, _s_code(H_, Fl, L, dt))
-    d_rows = (m_rep * code_rep).reshape(n * 2 * L, W4)
-    d_table = jnp.zeros((E, W4), dt).at[entry_idx.reshape(-1)].add(d_rows)
+    d_wide = m_rep * code_rep  # [N, 2L*W4]
+
+    # Scatter accumulation precision (ADVICE r2): HOT entries — the dense
+    # coarse levels, where ~N rows land on a few thousand entries — lose
+    # gradient mass in bf16 once the running sum exceeds ~256x an increment
+    # (8-bit mantissa TRUNCATES every late contribution: the sum saturates,
+    # measured -50..-80% mass on hot-cell workloads, tests/test_ops.py).
+    # The dense levels are a contiguous PREFIX of both the level list and
+    # the entry axis, so the scatter splits in two: dense rows accumulate
+    # into a small f32 buffer (~750 MB flagship, cast to the table dtype
+    # after), hashed rows stay on the bf16 fast path — their production
+    # fill is a few rows/entry (524k entries/level), where bf16 is accurate
+    # (tests/test_ops.py spread-workload check), and tcnn's fp16 atomics
+    # are the precision precedent. A FULL f32 accumulation was tried and
+    # measured: same speed as this split (+20 ms/chunk; strided slices +
+    # dual scatter = the f32 byte premium) but its 6.5 GB transient OOMed
+    # the flagship step (16.96 G > 15.75 G hbm).
+    D, E_dense = dsplit
+    if 0 < D < L:
+        wide = d_wide.reshape(n, 2, L, W4)
+        idx3 = entry_idx.reshape(n, 2, L)
+        rows_d = wide[:, :, :D, :].reshape(n * 2 * D, W4)
+        rows_h = wide[:, :, D:, :].reshape(n * 2 * (L - D), W4)
+        d_dense = jnp.zeros((E_dense, W4), jnp.float32) \
+            .at[idx3[:, :, :D].reshape(-1)].add(rows_d.astype(jnp.float32))
+        d_hash = jnp.zeros((E - E_dense, W4), dt) \
+            .at[idx3[:, :, D:].reshape(-1) - E_dense].add(rows_h)
+        d_table = jnp.concatenate([d_dense.astype(dt), d_hash], axis=0)
+    else:
+        # all-dense (every entry potentially hot): accumulate f32;
+        # all-hashed: the table dtype
+        acc_dt = jnp.float32 if D == L else dt
+        d_rows = d_wide.reshape(n * 2 * L, W4)
+        d_table = jnp.zeros((E, W4), acc_dt) \
+            .at[entry_idx.reshape(-1)].add(d_rows.astype(acc_dt)).astype(dt)
 
     return d_table, d_code, None, d_wy, d_fx, d_fz
 

@@ -197,6 +197,76 @@ def cone_march_ts(t_near: jnp.ndarray, steps: jnp.ndarray,
     return jnp.where(k <= k0[:, None], linear, geometric)
 
 
+def march_range(origins, directions, aabb_min, aabb_max, binaries,
+                near_plane: float, far_plane: float):
+    """Per-ray [t_near, t_far] march range: AABB slab intersection against
+    the COARSEST cascade level's box, clipped to the near/far planes."""
+    outer_min, outer_max = aabb_min, aabb_max
+    if binaries is not None and binaries.ndim == 4 and binaries.shape[0] > 1:
+        outer_min, outer_max = level_aabb(aabb_min, aabb_max,
+                                          binaries.shape[0] - 1)
+    t_near, t_far = ray_aabb_intersect(origins, directions, outer_min, outer_max)
+    t_near = jnp.maximum(t_near, near_plane)
+    t_far = jnp.minimum(t_far, far_plane)
+    return t_near, t_far
+
+
+def dilate_binaries(binaries: jnp.ndarray) -> jnp.ndarray:
+    """3x3x3 max-pool (one-cell dilation) of a [G,G,G] or [L,G,G,G] binary
+    grid. Used by the eval-time coarse prefilter: probing a DILATED grid at
+    a stride of up to ~2 cell widths cannot miss an occupied cell of the
+    real grid (the dilated target is >= 3 cells wide along the ray)."""
+    squeeze = binaries.ndim == 3
+    if squeeze:
+        binaries = binaries[None]
+    b = binaries
+    for axis in (1, 2, 3):
+        shifted_fwd = jnp.concatenate(
+            [b.take(jnp.arange(1, b.shape[axis]), axis=axis),
+             b.take(jnp.array([b.shape[axis] - 1]), axis=axis)], axis=axis)
+        shifted_bwd = jnp.concatenate(
+            [b.take(jnp.array([0]), axis=axis),
+             b.take(jnp.arange(0, b.shape[axis] - 1), axis=axis)], axis=axis)
+        b = b | shifted_fwd | shifted_bwd
+    return b[0] if squeeze else b
+
+
+def coarse_entry_steps(origins: jnp.ndarray,
+                       directions: jnp.ndarray,
+                       t_near: jnp.ndarray,
+                       t_far: jnp.ndarray,
+                       dilated_binaries: jnp.ndarray,
+                       aabb_min: jnp.ndarray,
+                       aabb_max: jnp.ndarray,
+                       render_step_size: float,
+                       n_candidates: int,
+                       stride: int,
+                       cone_angle: float = 0.0) -> jnp.ndarray:
+    """Per-ray fractional step index of the first occupied coarse probe.
+
+    Probes the DILATED occupancy grid every ``stride`` candidate steps over
+    the full candidate comb; returns the (conservative, one-stride-early)
+    step index k0 >= 0 at which fine marching should start. Rays with no
+    coarse hit return the step index past t_far (their fine window is empty
+    — they render background exactly as the full march would).
+    """
+    n_coarse = -(-n_candidates // stride)
+    k = (jnp.arange(n_coarse, dtype=origins.dtype) * stride)[None, :]  # [R,C]
+    if cone_angle > 0.0:
+        ts = cone_march_ts(t_near, k + 0.5 * stride, render_step_size,
+                           cone_angle)
+    else:
+        ts = t_near[:, None] + (k + 0.5 * stride) * render_step_size
+    pos = origins[:, None, :] + directions[:, None, :] * ts[..., None]
+    occ = occupancy_lookup(dilated_binaries, pos, aabb_min, aabb_max)
+    occ = occ & (ts < t_far[:, None])
+    any_hit = jnp.any(occ, axis=-1)
+    first = jnp.argmax(occ, axis=-1)  # first True (0 when none)
+    k0 = jnp.maximum(first - 1, 0).astype(origins.dtype) * stride
+    # no coarse hit: start past t_far so every fine candidate is invalid
+    return jnp.where(any_hit, k0, jnp.float32(n_candidates))
+
+
 def march_rays(origins: jnp.ndarray,
                directions: jnp.ndarray,
                aabb_min: jnp.ndarray,
@@ -208,7 +278,8 @@ def march_rays(origins: jnp.ndarray,
                near_plane: float = 0.0,
                far_plane: float = 1e10,
                jitter: Optional[jnp.ndarray] = None,
-               cone_angle: float = 0.0):
+               cone_angle: float = 0.0,
+               start_steps: Optional[jnp.ndarray] = None):
     """Full sampler: rays -> compacted RaySamples + diagnostics.
 
     jitter: optional [R] uniforms in [0,1) shifting each ray's sample comb
@@ -218,25 +289,24 @@ def march_rays(origins: jnp.ndarray,
     ``dt = max(t * cone_angle, render_step_size)`` — see cone_march_ts).
     binaries may be a [L, G, G, G] cascade; the march range then spans the
     COARSEST level's AABB (base scaled by 2^(L-1)).
+    start_steps: optional [R] per-ray step offsets added to the candidate
+    comb (the coarse-prefilter entry points, see coarse_entry_steps) — the
+    fine window then covers steps [start, start + n_candidates).
     Returns (RaySamples, info dict).
     """
-    outer_min, outer_max = aabb_min, aabb_max
-    if binaries is not None and binaries.ndim == 4 and binaries.shape[0] > 1:
-        outer_min, outer_max = level_aabb(aabb_min, aabb_max,
-                                          binaries.shape[0] - 1)
-    t_near, t_far = ray_aabb_intersect(origins, directions, outer_min, outer_max)
-    t_near = jnp.maximum(t_near, near_plane)
-    t_far = jnp.minimum(t_far, far_plane)
+    t_near, t_far = march_range(origins, directions, aabb_min, aabb_max,
+                                binaries, near_plane, far_plane)
 
     steps = jnp.arange(n_candidates, dtype=origins.dtype)  # [N]
     if jitter is None:
         jitter = jnp.zeros_like(t_near)
+    offset = jitter if start_steps is None else jitter + start_steps
     if cone_angle > 0.0:
-        k = steps[None, :] + jitter[:, None]  # [R, N]
+        k = steps[None, :] + offset[:, None]  # [R, N]
         t0 = cone_march_ts(t_near, k, render_step_size, cone_angle)
         t1 = cone_march_ts(t_near, k + 1.0, render_step_size, cone_angle)
     else:
-        t0 = t_near[:, None] + (steps[None, :] + jitter[:, None]) * render_step_size
+        t0 = t_near[:, None] + (steps[None, :] + offset[:, None]) * render_step_size
         t1 = t0 + render_step_size
     mids = (t0 + t1) * 0.5
     valid = mids < t_far[:, None]  # [R, N]

@@ -40,6 +40,18 @@ def build_parser():
     return p
 
 
+def select_eval_indices(entries, skip_timesteps: Optional[int]):
+    """Eval-view subset for --skip-timesteps: the reference keeps frames
+    whose ON-DISK frame number satisfies ``timestep % skip_timesteps == 0``
+    (reference: evaluate_nersemble.py:139-141) — NOT every k-th evaluated
+    index (the two diverge whenever start_timestep != 0 or the dataparser
+    skip != 1)."""
+    if skip_timesteps is None or skip_timesteps <= 1:
+        return list(range(len(entries)))
+    return [i for i, e in enumerate(entries)
+            if e.original_timestep % skip_timesteps == 0]
+
+
 def _image_metrics(pred: np.ndarray, gt: np.ndarray, alpha: Optional[np.ndarray]):
     import jax.numpy as jnp
 
@@ -98,11 +110,8 @@ def main(argv=None, data_location=None, original_image_size=None):
                            use_occupancy_grid_filtering=args.use_occupancy_grid_filtering)
 
     loader = trainer.eval_loader
-    indices = range(len(loader))
-    if args.skip_timesteps is not None and args.skip_timesteps > 1:
-        n_cams = len(trainer.eval_outputs.cam_ids)
-        keep_t = set(range(0, len(loader) // n_cams, args.skip_timesteps))
-        indices = [i for i in indices if i // n_cams in keep_t]
+    indices = select_eval_indices(trainer.eval_outputs.entries,
+                                  args.skip_timesteps)
 
     per_cam = defaultdict(lambda: {"regular": defaultdict(list),
                                    "masked": defaultdict(list)})

@@ -76,13 +76,22 @@ def build_parser() -> argparse.ArgumentParser:
     # ray marching
     p.add_argument("--cone-angle", type=float, default=0.0)
     p.add_argument("--alpha-thre", type=float, default=1e-2)
+    p.add_argument("--early-stop-eps", type=float, default=0.0,
+                   help="terminate rays once transmittance < eps (reference "
+                        "trains with 0: train_nersemble.py:192)")
     p.add_argument("--occ-thre", type=float, default=1e-2)
     p.add_argument("--n-train-rays", type=int, default=4096)
     p.add_argument("--grid-levels", type=int, default=1)
     p.add_argument("--disable-occupancy-grid", action="store_true")
-    p.add_argument("--max-samples-per-ray", type=int, default=64)
-    p.add_argument("--max-candidates-per-ray", type=int, default=1024)
-    p.add_argument("--global-budget-fraction", type=float, default=0.5,
+    # sampling defaults == the benched/quality-proven configuration
+    # (bench.py, __graft_entry__.py, scripts/quality_benchmark.py): S=256
+    # slots (the reference train default — the S=64 cap measurably dropped
+    # 68% of valid samples, PERF.md round 2b), candidates auto-sized to span
+    # the scene box, budget fraction 0.125 (131,072 samples at R=4096).
+    p.add_argument("--max-samples-per-ray", type=int, default=256)
+    p.add_argument("--max-candidates-per-ray", type=int, default=-1,
+                   help="-1 auto-sizes to span the scene-box diagonal")
+    p.add_argument("--global-budget-fraction", type=float, default=0.125,
                    help="evaluate only this fraction of the R*S sample slots "
                         "per batch (global compaction; 1.0 disables)")
     p.add_argument("--max-n-samples-per-batch", type=int, default=2 ** 16,
@@ -150,7 +159,7 @@ def build_config(args, run_name: str, output_dir: str) -> TrainConfig:
         cone_angle=args.cone_angle,
         alpha_thre=args.alpha_thre,
         occ_thre=args.occ_thre,
-        early_stop_eps=0.0,
+        early_stop_eps=args.early_stop_eps,
         background_color="white",
         num_levels=args.num_levels,
         log2_hashmap_size=args.log2_hashmap_size,

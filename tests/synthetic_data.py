@@ -51,13 +51,28 @@ def surface_texture(n_obj: np.ndarray) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0)
 
 
-def _camera_rig(n_cams: int = 16):
-    """OpenCV world_2_cam poses on a circle around the origin (y = down)."""
+def _camera_rig(n_cams: int = 16, elevation_deg: float = 22.5):
+    """OpenCV world_2_cam poses on TWO staggered elevation rings (y = down).
+
+    Round-2 used a single coplanar circle; the resulting eval views could
+    only be explained by in-plane interpolation and hold-out renders showed
+    tangential occlusion ghosting that the real (non-coplanar) NeRSemble
+    rig never produces (VERDICT r2 next-round #4). Cameras alternate
+    between a lower (+el, y down) and an upper (-el) ring, with the rings'
+    azimuths staggered by half a slot so no two cameras share a vertical
+    plane — every hold-out view is surrounded by train views in BOTH
+    azimuth and elevation, like the real capture dome.
+    """
     poses = {}
+    el = np.deg2rad(elevation_deg)
+    per_ring = n_cams // 2
     for i in range(n_cams):
-        angle = 2 * np.pi * i / n_cams
-        position = CAM_DISTANCE * np.array([np.sin(angle), 0.0, np.cos(angle)])
-        # look at origin: z forward toward origin, y down
+        ring = i % 2  # 0 = lower ring, 1 = upper ring
+        az = 2 * np.pi * (i // 2) / per_ring + ring * np.pi / per_ring
+        y_comp = np.sin(el) * (1.0 if ring == 0 else -1.0)  # y is DOWN
+        position = CAM_DISTANCE * np.array([
+            np.cos(el) * np.sin(az), y_comp, np.cos(el) * np.cos(az)])
+        # look at origin: z forward toward origin, y down (Gram-Schmidt)
         z = -position / np.linalg.norm(position)
         y = np.array([0.0, 1.0, 0.0])
         x = np.cross(y, z)

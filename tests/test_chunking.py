@@ -3,11 +3,13 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nersemble_tpu.models.nersemble import NeRSembleModel
 from tests.test_model import SCHED, make_rays, tiny_model_config
 
 
+@pytest.mark.slow
 def test_chunked_matches_unchunked():
     rays = make_rays(8, np.random.default_rng(0))
     batch = {"rgb": jnp.ones((8, 3)) * 0.5, "alpha": jnp.ones((8,))}

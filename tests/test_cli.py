@@ -56,6 +56,7 @@ def cli_env(tmp_path_factory, request):
     return {"data": str(root), "models": str(models), "renders": str(renders)}
 
 
+@pytest.mark.slow
 def test_cli_journey(cli_env):
     from nersemble_tpu.scripts import (
         evaluate_nersemble,
@@ -127,3 +128,50 @@ def test_validate_poses_cli(cli_env, tmp_path):
     out = tmp_path / "poses.png"
     validate_poses.main(["30", "SYN-1", "--output", str(out)])
     assert out.exists()
+
+
+def test_cli_defaults_match_benched_config():
+    """The flagship CLI's default sampling configuration must equal the
+    benched/quality-proven one (bench.py, __graft_entry__.py) — round 2
+    shipped the measurably quality-breaking S=64 + fraction 0.5 defaults
+    (PERF.md round 2b: 68% of valid samples slot-dropped, train PSNR ~13)."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from __graft_entry__ import _flagship_model_config
+    from nersemble_tpu.scripts.train_nersemble import build_config, build_parser
+
+    args = build_parser().parse_args(["30", "SYN-1"])
+    config = build_config(args, "run", "/tmp")
+    flagship = _flagship_model_config(tiny=False)
+
+    assert config.model.sampling.max_samples_per_ray \
+        == flagship.sampling.max_samples_per_ray == 256
+    assert config.model.sampling.global_budget_fraction \
+        == flagship.sampling.global_budget_fraction == 0.125
+    # -1 auto-sizes candidates to span the scene box (model __init__)
+    assert config.model.sampling.max_candidates_per_ray == -1
+    assert config.model.max_n_samples_per_batch \
+        == flagship.max_n_samples_per_batch
+    assert config.model.early_stop_eps == 0.0  # train_nersemble.py:192
+
+
+def test_eval_skip_timesteps_by_frame_number():
+    """--skip-timesteps keeps frames by ON-DISK frame number
+    (reference: evaluate_nersemble.py:139-141), not by evaluated index."""
+    from dataclasses import dataclass
+
+    from nersemble_tpu.scripts.evaluate_nersemble import select_eval_indices
+
+    @dataclass
+    class E:
+        original_timestep: int
+
+    # start_timestep=1, dataparser skip=2 => on-disk frames 1,3,5,7,9
+    entries = [E(t) for t in (1, 3, 5, 7, 9)]
+    assert select_eval_indices(entries, 3) == [1, 4]  # frames 3 and 9
+    assert select_eval_indices(entries, None) == [0, 1, 2, 3, 4]
+    assert select_eval_indices(entries, 1) == [0, 1, 2, 3, 4]
+    # frames 0,2,4,... with skip 2 keeps every one (all even)
+    entries = [E(t) for t in (0, 2, 4, 6)]
+    assert select_eval_indices(entries, 2) == [0, 1, 2, 3]

@@ -136,6 +136,7 @@ def test_losses_and_gradients(model_and_params):
         assert nonzero[key] > 0, f"no gradient reached {key}"
 
 
+@pytest.mark.slow
 def test_occupancy_update_and_binaries(model_and_params):
     model, params = model_and_params
     occs = model.init_grid_occs()
@@ -234,6 +235,7 @@ def test_alpha_thre_pruning():
 # Global sample compaction
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_compaction_matches_uncompacted(model_and_params):
     """With a budget large enough to keep every valid sample, the compacted
     render == the plain render (same weights, rgb, depth, losses)."""
@@ -264,6 +266,7 @@ def test_compaction_matches_uncompacted(model_and_params):
                                   np.asarray(out_plain["samples"].mask))
 
 
+@pytest.mark.slow
 def test_compaction_budget_drops_far_tail(model_and_params):
     """A tight budget drops the deepest slots and reports the count; the
     render stays finite and differentiable."""
@@ -328,3 +331,110 @@ def test_cone_angle_and_grid_levels_end_to_end():
     assert np.isfinite(float(val))
     for path, leaf in jax.tree_util.tree_leaves_with_path(grads):
         assert np.isfinite(np.asarray(leaf)).all(), path
+
+
+def test_early_stop_eps_suffix_drop():
+    """early_stop_eps terminates each ray once transmittance < eps
+    (reference: nerfacc early stop, nersemble_volumetric_sampler.py:104):
+    kept samples render identically, the dropped suffix contributes nothing."""
+    from nersemble_tpu.ops.rendering import exclusive_cumsum
+
+    base = dict(use_hash_ensemble=False, use_deformation_field=False,
+                n_timesteps=1, num_levels=4, log2_hashmap_size=8,
+                base_resolution=4, max_res=16, alpha_thre=0.0)
+    eps = 0.3
+    m0 = NeRSembleModel(tiny_model_config(**base, early_stop_eps=0.0))
+    m1 = NeRSembleModel(tiny_model_config(**base, early_stop_eps=eps))
+    params = m0.init_params(jax.random.PRNGKey(0))
+    # near-init density ~ trunc_exp(0) = 1, step 0.05, ~32 valid samples per
+    # ray => T decays to ~exp(-1.6) ~ 0.2 < eps: the suffix drop triggers
+    rays = make_rays(8, np.random.default_rng(3))
+    out0 = m0.render_rays(params, rays, None, {}, train=False)
+    out1 = m1.render_rays(params, rays, None, {}, train=False)
+
+    w0 = np.asarray(out0["weights"])
+    # T_i (transmittance before sample i) = 1 - sum_{j<i} w_j
+    trans = 1.0 - np.asarray(exclusive_cumsum(jnp.asarray(w0), axis=-1))
+    keep = trans >= eps
+    assert keep.sum() < keep.size  # the test actually exercises the drop
+    w1 = np.asarray(out1["weights"])
+    np.testing.assert_allclose(w1, np.where(keep, w0, 0.0), atol=1e-5)
+    # kept-prefix compositing: rgb re-blends toward the background
+    acc1 = np.asarray(out1["accumulation"])[:, 0]
+    assert (acc1 <= np.asarray(out0["accumulation"])[:, 0] + 1e-6).all()
+
+
+def test_eval_coarse_prefilter_matches_full_march():
+    """Eval render with the coarse occupancy prefilter == the full-span
+    march, exactly: the fine window starts one stride early on an integer
+    step, so the candidate t-grid aligns and (on a grid whose occupied span
+    fits the window) the same samples survive."""
+    base = dict(use_hash_ensemble=False, use_deformation_field=False,
+                n_timesteps=1, num_levels=4, log2_hashmap_size=8,
+                base_resolution=4, max_res=16, alpha_thre=0.0,
+                sampling=None)
+    from nersemble_tpu.config import SamplingConfig
+
+    cfg_off = tiny_model_config(**{**base, "sampling": SamplingConfig(
+        max_samples_per_ray=32, max_candidates_per_ray=96,
+        eval_coarse_prefilter=False)})
+    cfg_on = tiny_model_config(**{**base, "sampling": SamplingConfig(
+        max_samples_per_ray=32, max_candidates_per_ray=96,
+        eval_coarse_prefilter=True, eval_prefilter_stride=4,
+        eval_fine_candidates=48)})
+    m_off = NeRSembleModel(cfg_off)
+    m_on = NeRSembleModel(cfg_on)
+    params = m_off.init_params(jax.random.PRNGKey(0))
+    rays = make_rays(16, np.random.default_rng(5))
+
+    # carved grid: occupied slab around the scene center (plus a few random
+    # cells), like a converged head grid
+    g = cfg_off.grid_resolution
+    occ = np.zeros((g, g, g), bool)
+    occ[6:10, 5:11, 5:11] = True
+    occ[12, 3, 3] = True
+    binaries = jnp.asarray(occ)
+
+    out_off = m_off.render_rays(params, rays, binaries, {}, train=False)
+    out_on = m_on.render_rays(params, rays, binaries, {}, train=False)
+    assert float(out_off["accumulation"].sum()) > 0.1  # scene actually hit
+    for key in ("rgb", "depth", "accumulation"):
+        np.testing.assert_allclose(np.asarray(out_on[key]),
+                                   np.asarray(out_off[key]),
+                                   atol=2e-5, err_msg=key)
+
+
+def test_dilate_binaries_and_coarse_entry():
+    from nersemble_tpu.ops.sampling import (
+        coarse_entry_steps,
+        dilate_binaries,
+    )
+
+    g = 8
+    occ = np.zeros((g, g, g), bool)
+    occ[4, 4, 4] = True
+    d = np.asarray(dilate_binaries(jnp.asarray(occ)))
+    assert d.sum() == 27 and d[3:6, 3:6, 3:6].all()
+    # cascade shape preserved
+    d2 = np.asarray(dilate_binaries(jnp.asarray(occ)[None]))
+    assert d2.shape == (1, g, g, g)
+
+    # a ray toward the occupied cell starts its fine window before the cell;
+    # a ray missing everything starts past the span
+    aabb_min = jnp.asarray([-1.0, -1.0, -1.0])
+    aabb_max = jnp.asarray([1.0, 1.0, 1.0])
+    origins = jnp.asarray([[-3.0, 0.125, 0.125], [-3.0, 0.9, 0.9]], jnp.float32)
+    dirs = jnp.asarray([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]], jnp.float32)
+    from nersemble_tpu.ops.sampling import march_range
+    t_near, t_far = march_range(origins, dirs, aabb_min, aabb_max,
+                                jnp.asarray(occ), 0.0, 100.0)
+    step = 0.05
+    n_cand = 80
+    k0 = np.asarray(coarse_entry_steps(
+        origins, dirs, t_near, t_far, dilate_binaries(jnp.asarray(occ)),
+        aabb_min, aabb_max, step, n_cand, stride=4))
+    # cell (4,4,4) spans x in [0, 0.25): entry at t = 3.0 - dilation 0.25
+    t_start0 = float(t_near[0]) + k0[0] * step
+    assert t_start0 <= 3.0 - 0.25 + 1e-6
+    assert t_start0 >= 3.0 - 0.25 - 2 * 4 * step  # within two strides before
+    assert k0[1] == n_cand  # miss: fine window empty

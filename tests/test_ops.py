@@ -583,6 +583,7 @@ def test_occupancy_update_and_binaries():
     assert not b2[1:].any()
 
 
+@pytest.mark.slow
 def test_blended_custom_vjp_matches_autodiff(small_levels):
     """The custom-VJP blended encode == plain autodiff (values + all grads),
     end-to-end through the canonical-table quad build (tests the roll-back
@@ -621,3 +622,99 @@ def test_blended_custom_vjp_matches_autodiff(small_levels):
     for name, gc, gr in zip(("table", "x", "code"), grads_c, grads_r):
         np.testing.assert_allclose(np.asarray(gc), np.asarray(gr),
                                    atol=2e-3, rtol=2e-3, err_msg=name)
+
+
+def test_hash_encode_matches_clamped_trilerp_interior():
+    """Independent oracle (ADVICE r2): a tcnn-style CLAMPED-corner trilinear
+    interpolation, written without any knowledge of the xz-quad layout. On
+    interior points of dense levels (no clamp, no wrap) the two semantics
+    agree exactly, guarding the quad/grid layout against regressions
+    independently of the mirrored-semantics _naive_hash_encode oracle."""
+    levels = HashGridLevels.create(n_levels=3, log2_hashmap_size=19,
+                                   base_resolution=4, per_level_scale=1.5)
+    assert not any(levels.hashed)  # dense-only on purpose
+    table = np.asarray(init_hash_table(jax.random.PRNGKey(5), levels, 4))
+    # interior points: floor(x*scale + 0.5) in [0, res-2] for every level
+    x = np.random.default_rng(7).uniform(0.1, 0.8, size=(23, 3)) \
+        .astype(np.float32)
+
+    out = np.asarray(hash_encode(
+        build_quad_table(jnp.asarray(table), levels, dtype=jnp.float32),
+        jnp.asarray(x), levels))
+
+    N, W = x.shape[0], table.shape[1]
+    ref = np.zeros((N, levels.n_levels, W), np.float32)
+    for l in range(levels.n_levels):
+        res = levels.resolutions[l]
+        sx, sz = levels.x_strides[l], levels.z_strides[l]
+        pos = x * levels.scales[l] + 0.5
+        g0 = np.floor(pos).astype(np.int64)
+        frac = pos - g0
+        assert (g0 >= 0).all() and (g0 <= res - 2).all(), "not interior"
+        for a in (0, 1):
+            for b in (0, 1):
+                for c in (0, 1):
+                    cx = np.clip(g0[:, 0] + a, 0, res - 1)
+                    cy = np.clip(g0[:, 1] + b, 0, res - 1)
+                    cz = np.clip(g0[:, 2] + c, 0, res - 1)
+                    idx = levels.offsets[l] + cy + sx * cx + sz * cz
+                    w = (frac[:, 0] if a else 1 - frac[:, 0]) \
+                        * (frac[:, 1] if b else 1 - frac[:, 1]) \
+                        * (frac[:, 2] if c else 1 - frac[:, 2])
+                    ref[:, l] += w[:, None] * table[idx]
+    np.testing.assert_allclose(out, ref.reshape(N, -1), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_hot_entry_scatter_accumulates_f32(small_levels):
+    """Hot-entry table gradients survive bf16 production mode (ADVICE r2):
+    dense coarse levels accumulate thousands of scattered rows per entry —
+    pure-bf16 accumulation rounds late contributions to zero once the
+    running sum exceeds ~256x an increment. The backward splits the scatter:
+    dense prefix in f32, hashed levels in the table dtype."""
+    from nersemble_tpu.ops.hash_encoding import (
+        dense_split,
+        hash_encode_blended_reference,
+    )
+
+    levels = small_levels
+    D, E_dense = dense_split(levels)
+    assert 0 < D < levels.n_levels  # mixed dense/hashed split exercised
+    table = init_hash_table(jax.random.PRNGKey(0), levels, 8)  # H=4, Fl=2
+    N = 8192
+    # hot workload: every sample inside one tiny region => coarse-level rows
+    # all land on a handful of entries
+    x = 0.3 + 0.02 * jax.random.uniform(jax.random.PRNGKey(1), (N, 3))
+    code = jax.random.uniform(jax.random.PRNGKey(2), (N, 4))
+    quad16 = build_quad_table(table, levels, dtype=jnp.bfloat16)
+    quad32 = build_quad_table(table, levels, dtype=jnp.float32)
+
+    g16 = jax.grad(lambda q: jnp.sum(
+        hash_encode_blended(q, x, code, levels, 2)))(quad16)
+    g32 = jax.grad(lambda q: jnp.sum(
+        hash_encode_blended_reference(q, x, code, levels, 2)))(quad32)
+    g16 = np.asarray(g16, np.float32)
+    g32 = np.asarray(g32, np.float32)
+
+    # d_table is independent of the table VALUES (linear in blend weights),
+    # so bf16 vs f32 here isolates expansion/accumulation precision. The
+    # dense prefix must retain its gradient mass; a pure-bf16 accumulation
+    # loses tens of percent on this workload (the hashed levels, still bf16,
+    # measurably do on this same pathological all-in-one-cell input — which
+    # is why this assertion is a real regression guard).
+    mass16 = np.abs(g16[:E_dense]).sum()
+    mass32 = np.abs(g32[:E_dense]).sum()
+    assert abs(mass16 / mass32 - 1.0) < 0.02, (mass16, mass32)
+
+    # realistic fill for the hashed levels (samples spread over the volume,
+    # a few rows per entry — the production regime): bf16 accumulation there
+    # stays accurate, justifying the hot/cold split
+    xs = jax.random.uniform(jax.random.PRNGKey(3), (N, 3))
+    g16s = np.asarray(jax.grad(lambda q: jnp.sum(
+        hash_encode_blended(q, xs, code, levels, 2)))(quad16), np.float32)
+    g32s = np.asarray(jax.grad(lambda q: jnp.sum(
+        hash_encode_blended_reference(q, xs, code, levels, 2)))(quad32),
+        np.float32)
+    hmass16 = np.abs(g16s[E_dense:]).sum()
+    hmass32 = np.abs(g32s[E_dense:]).sum()
+    assert abs(hmass16 / hmass32 - 1.0) < 0.03, (hmass16, hmass32)

@@ -40,6 +40,7 @@ def test_feature_sharded_encode_matches_replicated():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_table_sharded_training_matches_replicated(tmp_path_factory):
     """Full train steps with the table sharded over 8 devices == replicated."""
     from nersemble_tpu.engine.trainer import NeRSembleTrainer
@@ -64,6 +65,8 @@ def test_table_sharded_training_matches_replicated(tmp_path_factory):
         config.steps_per_save = 1000
         config.parallel.data_axis_size = 8
         config.parallel.shard_hash_tables = shard
+        # pin a TRUE replicated baseline (ZeRO-3 is the new default layout)
+        config.parallel.shard_table_params = False
         trainer = NeRSembleTrainer(config, model_manager=manager,
                                    data_location=str(root),
                                    original_image_size=meta["original_size"])
@@ -82,6 +85,7 @@ def test_table_sharded_training_matches_replicated(tmp_path_factory):
                                    atol=5e-5, rtol=1e-3, err_msg=str(path))
 
 
+@pytest.mark.slow
 def test_zero_sharded_optimizer_matches_replicated(tmp_path_factory):
     """ZeRO-sharded table Adam moments == replicated state (GSPMD collectives
     are math-identical), while the moments actually live sharded."""
@@ -100,6 +104,9 @@ def test_zero_sharded_optimizer_matches_replicated(tmp_path_factory):
         config.steps_per_save = 1000
         config.parallel.data_axis_size = 8
         config.parallel.shard_table_optimizer = shard_opt
+        # this test isolates the moments-only ZeRO layer; the full ZeRO-3
+        # param pipeline has its own test below
+        config.parallel.shard_table_params = False
         trainer = NeRSembleTrainer(config, model_manager=manager,
                                    data_location=str(root),
                                    original_image_size=meta["original_size"])
@@ -115,3 +122,47 @@ def test_zero_sharded_optimizer_matches_replicated(tmp_path_factory):
             jax.tree_util.tree_leaves_with_path(results[True])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-5, err_msg=str(path))
+
+
+@pytest.mark.slow
+def test_zero3_table_pipeline_matches_replicated(tmp_path_factory):
+    """The entry-sharded (ZeRO-3) table-gradient pipeline — shard-local bf16
+    cast -> all-gather -> quad build, backward reduce-scatter of the folded
+    gradient, fold+Adam state on the [E/8, W] shard — trains numerically
+    equal to the replicated layout (VERDICT r2 next-round #1 done criterion
+    (a)). f32 gather operand isolates layout equivalence from bf16
+    reduction-order noise."""
+    from nersemble_tpu.engine.trainer import NeRSembleTrainer
+
+    root = tmp_path_factory.mktemp("nsdata_z3")
+    models = tmp_path_factory.mktemp("nsmodels_z3")
+    meta = make_synthetic_dataset(root, n_timesteps=2)
+    folder = NeRSembleModelFolder(models_path=str(models))
+
+    results = {}
+    for zero3 in (False, True):
+        manager = folder.new_run(name=f"z3{int(zero3)}")
+        config = tiny_train_config(manager.get_run_name(), folder.get_location())
+        config.model.table_dtype = "float32"
+        config.max_num_iterations = 3
+        config.steps_per_save = 1000
+        config.parallel.data_axis_size = 8
+        config.parallel.shard_table_params = zero3
+        trainer = NeRSembleTrainer(config, model_manager=manager,
+                                   data_location=str(root),
+                                   original_image_size=meta["original_size"])
+        if zero3:
+            assert trainer.model.table_replicate_sharding is not None
+            table = trainer.params["field"]["table"]
+            assert not table.sharding.is_fully_replicated
+            mu = trainer.opt_state.mu["field"]["table"]
+            assert not mu.sharding.is_fully_replicated
+        trainer.train()
+        trainer.batcher.stop()
+        results[zero3] = jax.device_get(trainer.params)
+
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(results[False]),
+            jax.tree_util.tree_leaves_with_path(results[True])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-3, err_msg=str(path))
