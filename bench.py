@@ -22,6 +22,11 @@ def main():
                     help="override sampling.global_budget_fraction")
     ap.add_argument("--chunk", type=int, default=None,
                     help="override max_n_samples_per_batch")
+    ap.add_argument("--budget", type=int, default=None,
+                    help="explicit compaction budget (overrides fraction); "
+                         "use the quality run's measured steady-state value")
+    ap.add_argument("--fill", type=float, default=None,
+                    help="override the synthetic grid's random fill fraction")
     ap.add_argument("--iters", type=int, default=30)
     args = ap.parse_args()
 
@@ -60,7 +65,8 @@ def main():
 
     # representative occupancy: ~5% of cells occupied around the head region
     rng = np.random.default_rng(0)
-    occ = rng.uniform(size=(g, g, g)) < 0.05
+    fill = args.fill if args.fill is not None else 0.05
+    occ = rng.uniform(size=(g, g, g)) < fill
     center = slice(g // 2 - g // 8, g // 2 + g // 8)
     occ[center, center, center] = True
     binaries_grid = jnp.asarray(occ)
@@ -78,7 +84,7 @@ def main():
     def train_step(params, opt_state, binaries_grid, batch, rng_key):
         def loss_fn(p):
             out = model.render_rays(p, batch, binaries_grid, sched, rng=rng_key,
-                                    train=True)
+                                    train=True, budget=args.budget)
             losses = model.compute_losses(out, batch, sched, train=True)
             return sum(losses.values()), jnp.sum(out["num_samples_per_ray"])
 

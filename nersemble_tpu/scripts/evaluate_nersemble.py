@@ -63,7 +63,7 @@ def _image_metrics(pred: np.ndarray, gt: np.ndarray, alpha: Optional[np.ndarray]
         "ssim": float(M.ssim(jnp.asarray(pred), jnp.asarray(gt))),
         "mse": float(M.mse(jnp.asarray(pred), jnp.asarray(gt))),
         "lpips": lpips_or_none(pred, gt),
-        "jod": None,  # pyfvvdp unavailable in this environment
+        "jod": None,  # video-level metric: filled per camera after the loop
     }
     masked = {k: None for k in out}
     if alpha is not None:
@@ -159,8 +159,10 @@ def main(argv=None, data_location=None, original_image_size=None):
         print(f"[eval] cam {entry.cam_id} frame {entry.original_timestep}: "
               f"psnr={regular['psnr']:.2f} ssim={regular['ssim']:.3f}")
 
-    # JOD video metric per camera (reference: evaluate_nersemble.py:206-240);
-    # null when pyfvvdp is unavailable in the environment
+    # JOD video metric per camera (reference: evaluate_nersemble.py:206-240).
+    # Evaluator resolution (utils/jod.py): real pyfvvdp if importable, else
+    # the vendored FovVideoVDP-class pipeline (utils/fvvdp.py — coarsely
+    # calibrated, framework-internally comparable), else null.
     from nersemble_tpu.utils.jod import (evaluation_fps, get_jod_evaluator,
                                          jod_score)
     evaluator = get_jod_evaluator()

@@ -37,6 +37,21 @@ def get_jod_evaluator():
     try:
         import pyfvvdp  # noqa: F401 — optional dependency
         _cached = pyfvvdp.fvvdp(display_name="standard_4k", heatmap=None)
+        return _cached
+    except Exception:
+        pass
+    # vendored pipeline (utils/fvvdp.py): preferred only when the real
+    # pyfvvdp is unavailable; scores are framework-internally comparable
+    # but only coarsely calibrated to pyfvvdp's absolute JOD values (see
+    # the module docstring + STATUS.md). Opt out with
+    # NERSEMBLE_DISABLE_VENDORED_JOD=1 to keep jod null instead.
+    import os
+    if os.environ.get("NERSEMBLE_DISABLE_VENDORED_JOD") == "1":
+        _cached = None
+        return _cached
+    try:
+        from nersemble_tpu.utils.fvvdp import VendoredFovVideoVDP
+        _cached = VendoredFovVideoVDP()
     except Exception:
         _cached = None
     return _cached

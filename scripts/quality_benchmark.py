@@ -69,10 +69,21 @@ def run(mode: str, steps: int, data_root: str, models_root: str,
                  "--no-use-deformation-field",
                  "--no-use-hash-ensemble"]
     else:
-        # scaled-down reference schedules (40k/80k over 300k -> here)
-        args += ["--window-deform-end", str(max(steps // 15, 1)),
-                 "--window-hash-encodings-begin", str(max(steps // 8, 1)),
-                 "--window-hash-encodings-end", str(max(steps // 4, 1))]
+        # VERDICT r2 weak #3: the fade-in of all 32 hash tables must get a
+        # real chance (>= ~500 steps/table) AND complete well before the run
+        # ends — the round-2 formula (end = steps/4) gave ~27 steps/table.
+        n_tables = 32
+        begin = max(steps // 10, 1)
+        end = begin + 500 * n_tables
+        if end > int(steps * 0.85):
+            end = int(steps * 0.85)
+            print(f"[quality] WARNING: {steps} steps give only "
+                  f"{(end - begin) / n_tables:.0f} steps/table of hash "
+                  f"fade-in (want >= 500; use --steps >= "
+                  f"{int((begin + 500 * n_tables) / 0.85)})")
+        args += ["--window-deform-end", str(begin),
+                 "--window-hash-encodings-begin", str(begin),
+                 "--window-hash-encodings-end", str(end)]
 
     t0 = time.time()
     result = train_nersemble.main(args)
