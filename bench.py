@@ -27,7 +27,15 @@ def main():
                          "use the quality run's measured steady-state value")
     ap.add_argument("--fill", type=float, default=None,
                     help="override the synthetic grid's random fill fraction")
+    ap.add_argument("--from-run", type=str, default=None,
+                    help="path to a trained run dir (e.g. the quality study's "
+                         "NERS-001-quality-static): bench against its CONVERGED "
+                         "occupancy grid + adapted budget instead of the "
+                         "synthetic 5%%-fill grid (VERDICT r2 weak #7)")
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--trace", type=str, default=None,
+                    help="write a jax.profiler trace of 3 steps to this dir "
+                         "(analyze with scripts/analyze_trace.py)")
     args = ap.parse_args()
 
     import jax
@@ -42,6 +50,14 @@ def main():
     from nersemble_tpu.models.nersemble import NeRSembleModel
 
     config = _flagship_model_config(tiny=False)
+
+    # Steady-state valid-sample fill measured on the CONVERGED static quality
+    # run (QUALITY_r3.json drop_diagnostics_tail: ~59-63k valid samples/step
+    # at R=4096, zero budget drops). The trainer's adaptive budget
+    # (ops/sampling.quantized_budget: x1.3 headroom, R*S/32 quantum) lands on
+    # 98,304 for that fill — the benched default, so the bench measures the
+    # steady-state step the trainer actually runs, not the cold-start one.
+    STEADY_STATE_FILL = 63188
     # benchmark at the paper's batch size with the steady-state sample budget.
     # S=256 slots matches the reference train default (train_nersemble.py:84);
     # with global compaction the evaluated-sample cost is set by the budget
@@ -50,7 +66,7 @@ def main():
     # starved center rays of surface samples — see PERF.md quality study).
     n_rays = 4096
     assert config.sampling.max_samples_per_ray == 256
-    assert config.sampling.max_candidates_per_ray == 1024
+    assert config.sampling.max_candidates_per_ray == -1  # auto-span (-> 768)
     if args.fraction is not None:
         config.sampling.global_budget_fraction = args.fraction
     if args.chunk is not None:
@@ -63,13 +79,38 @@ def main():
     key_to_group = group_of_param(model.param_groups(params))
     g = config.grid_resolution
 
-    # representative occupancy: ~5% of cells occupied around the head region
     rng = np.random.default_rng(0)
-    fill = args.fill if args.fill is not None else 0.05
-    occ = rng.uniform(size=(g, g, g)) < fill
-    center = slice(g // 2 - g // 8, g // 2 + g // 8)
-    occ[center, center, center] = True
-    binaries_grid = jnp.asarray(occ)
+    if args.from_run:
+        # bench against a CONVERGED run's carved occupancy grid + its adapted
+        # steady-state budget so the measured fill/compaction behavior is the
+        # production one, not the synthetic grid's (VERDICT r2 weak #7)
+        from pathlib import Path
+        ckpts = sorted(Path(args.from_run, "checkpoints").glob("step-*.ckpt"))
+        assert ckpts, f"no checkpoints under {args.from_run}"
+        with np.load(ckpts[-1], allow_pickle=False) as data:
+            grid_occs = np.asarray(data["grid_occs"])
+            ckpt_budget = int(data["extra/sample_budget"]) \
+                if "extra/sample_budget" in data.files else None
+        from nersemble_tpu.ops.occupancy import occupancy_binaries
+        binaries_grid = occupancy_binaries(
+            jnp.asarray(grid_occs), config.occ_thre, None).reshape((g, g, g))
+        print(f"# from-run grid: fill="
+              f"{float(jnp.mean(binaries_grid.astype(jnp.float32))):.4f} "
+              f"adapted_budget={ckpt_budget}", flush=True)
+        if args.budget is None:
+            args.budget = ckpt_budget
+    else:
+        # representative occupancy: ~5% of cells occupied around the head
+        fill = args.fill if args.fill is not None else 0.05
+        occ = rng.uniform(size=(g, g, g)) < fill
+        center = slice(g // 2 - g // 8, g // 2 + g // 8)
+        occ[center, center, center] = True
+        binaries_grid = jnp.asarray(occ)
+
+    if args.budget is None and args.fraction is None:
+        from nersemble_tpu.ops.sampling import quantized_budget
+        args.budget = quantized_budget(
+            STEADY_STATE_FILL, n_rays, config.sampling.max_samples_per_ray)
 
     batch = _example_rays(n_rays, config.n_timesteps, seed=1)
     batch["rgb"] = jnp.asarray(rng.uniform(size=(n_rays, 3)).astype(np.float32))
@@ -100,6 +141,16 @@ def main():
                                                batch, jax.random.PRNGKey(0))
     jax.block_until_ready(total)
 
+    if args.trace:
+        ks = [jax.device_put(k) for k in
+              np.asarray(jax.random.split(jax.random.PRNGKey(9), 3))]
+        jax.block_until_ready(ks)
+        with jax.profiler.trace(args.trace):
+            for k in ks:
+                params, opt_state, total, n_samples = step(
+                    params, opt_state, binaries_grid, batch, k)
+            jax.block_until_ready(total)
+
     n_iters = args.iters
     # pre-built keys: an eager PRNGKey per iteration is a device round trip
     # through the axon tunnel that serializes with the step dispatch
@@ -126,6 +177,8 @@ def main():
             "ray_samples_per_sec": round(samples_per_sec, 1),
             "step_ms": round(dt / n_iters * 1000, 2),
             "n_rays": n_rays,
+            "budget": args.budget,
+            "n_candidates": config.sampling.max_candidates_per_ray,
             "device": str(jax.devices()[0]).replace(" ", "_"),
             "loss": float(total),
         },

@@ -164,6 +164,11 @@ class NeRSembleModel:
         if chunk == -1 or n <= chunk:
             return body(*inputs)
         k = -(-n // chunk)
+        # equal-size chunks: padding every chunk to the max size would waste
+        # up to chunk-1 evaluated rows (e.g. a 98,304 budget at chunk 2^16
+        # would gather/scatter 131,072 rows — the entire budget saving);
+        # instead split n into k equal 256-aligned pieces (98,304 -> 2x49,152)
+        chunk = -(-(-(-n // k)) // 256) * 256
         pad = k * chunk - n
 
         def prep(a):

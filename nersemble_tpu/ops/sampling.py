@@ -100,14 +100,18 @@ def quantized_budget(measured_samples: float, n_rays: int, n_slots: int,
                      current: Optional[int] = None) -> int:
     """Next train-step compaction budget from a measured valid-sample count.
 
-    Quantized to 1/16ths of R*S (each distinct value costs one re-jit of the
+    Quantized to 1/32nds of R*S (each distinct value costs one re-jit of the
     train step, so changes must be coarse and rare) with hysteresis: grow
     immediately when the measured fill approaches the budget, shrink only
     when clearly (>= 1 quantum) below — as the occupancy grid carves, real
-    fill falls to a few %% of R*S and the budget follows it down.
+    fill falls to a few %% of R*S and the budget follows it down. 1/32
+    matters at the flagship size: the converged static quality run measures
+    ~63k valid samples (x1.3 headroom = 82k), which lands at 98,304 instead
+    of rounding to the 131,072 a 1/16 quantum forces — 25%% fewer
+    gather/scatter rows in the steady-state step.
     """
     total = n_rays * n_slots
-    quantum = max(total // 16, 128)
+    quantum = max(total // 32, 128)
     q = -(-int(measured_samples * headroom) // quantum) * quantum
     q = min(max(q, quantum), total)
     if current is not None:
@@ -323,8 +327,18 @@ def march_rays(origins: jnp.ndarray,
     key = jnp.where(valid, jnp.arange(n_candidates, dtype=jnp.int32)[None, :],
                     big)
     neg_vals, order = jax.lax.top_k(-key, max_samples_per_ray)
-    t_starts = jnp.take_along_axis(t0, order, axis=-1)
-    t_ends = jnp.take_along_axis(t1, order, axis=-1)
+    # t of the selected slots: RECOMPUTED from the step index (the same
+    # closed form that built t0/t1) instead of take_along_axis — the two
+    # [R, S] element gathers from [R, n_candidates] ran at the scalar-gather
+    # floor, ~32 ms/step of the flagship bench (PERF.md round 3b trace)
+    k_sel = order.astype(origins.dtype) + offset[:, None]
+    if cone_angle > 0.0:
+        t_starts = cone_march_ts(t_near, k_sel, render_step_size, cone_angle)
+        t_ends = cone_march_ts(t_near, k_sel + 1.0, render_step_size,
+                               cone_angle)
+    else:
+        t_starts = t_near[:, None] + k_sel * render_step_size
+        t_ends = t_starts + render_step_size
     mask = neg_vals > -big
 
     n_valid_total = jnp.sum(valid, axis=-1)

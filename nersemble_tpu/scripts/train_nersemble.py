@@ -94,9 +94,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--global-budget-fraction", type=float, default=0.125,
                    help="evaluate only this fraction of the R*S sample slots "
                         "per batch (global compaction; 1.0 disables)")
-    p.add_argument("--max-n-samples-per-batch", type=int, default=2 ** 16,
-                   help="sample-chunk size bounding HBM "
-                        "(reference: train_nersemble.py:90)")
+    p.add_argument("--max-n-samples-per-batch", type=int, default=98304,
+                   help="sample-chunk size bounding HBM (reference: "
+                        "train_nersemble.py:90). 98,304 lets the steady-state "
+                        "adapted budget run as ONE chunk (PERF.md round 3b: "
+                        "355 vs 388 ms/step over 2 chunks); larger budgets "
+                        "split into equal chunks under this cap")
     p.add_argument("--eps-depth-initial", type=float, default=0.9)
     p.add_argument("--eps-depth-final", type=float, default=0.01)
     p.add_argument("--eps-depth-end-step", type=int, default=10000)

@@ -93,10 +93,11 @@ def main():
             results[name] = float("nan")
             print(f"{name} FAILED: {type(ex).__name__}: {str(ex)[:200]}")
 
+    n_cand = config.sampling.max_candidates_per_ray  # auto-resolved at init
     run("march_rays fwd", jax.jit(
         lambda: march_rays(batch["origins"], batch["directions"],
                            model.aabb_min, model.aabb_max,
-                           config.render_step_size, 1024, S,
+                           config.render_step_size, n_cand, S,
                            binaries=binaries, near_plane=config.near_plane,
                            far_plane=config.far_plane)[0].t_starts))
 

@@ -216,16 +216,16 @@ def test_adaptive_budget_shrinks_to_fill(tmp_path_factory):
 def test_quantized_budget_policy():
     from nersemble_tpu.ops.sampling import quantized_budget
 
-    # quantum = 4096*64/16 = 16384
+    # quantum = 4096*64/32 = 8192
     R, S = 4096, 64
-    # fresh: rounds measured*headroom UP to a quantum (65000 -> 4 quanta)
+    # fresh: rounds measured*headroom UP to a quantum (65000 -> 8 quanta)
     assert quantized_budget(50000, R, S, 1.3) == 65536
     # grow immediately when above current
     assert quantized_budget(100000, R, S, 1.3, current=65536) == 131072
     # same quantum -> unchanged
     assert quantized_budget(50000, R, S, 1.3, current=65536) == 65536
-    # shrink when the quantum falls
-    assert quantized_budget(30000, R, S, 1.3, current=65536) == 49152
+    # shrink when the quantum falls (39000 -> 5 quanta)
+    assert quantized_budget(30000, R, S, 1.3, current=65536) == 40960
     # clamped to [quantum, R*S]
-    assert quantized_budget(0, R, S, 1.3) == 16384
+    assert quantized_budget(0, R, S, 1.3) == 8192
     assert quantized_budget(10 ** 9, R, S, 1.3) == R * S
