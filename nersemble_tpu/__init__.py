@@ -19,3 +19,17 @@ Parallelism: data parallelism over rays via jax.sharding over a device Mesh
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Some out-of-tree TPU plugins (e.g. the axon tunnel on this host) probe
+    # their backend even when JAX_PLATFORMS excludes them — and hang for
+    # minutes when the device link is down. jax.config IS honored before
+    # backend init, so mirror the env var there. No-op once backends exist.
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # already initialized or jax absent — keep defaults
+        pass

@@ -177,6 +177,40 @@ class SamplingConfig(ConfigBase):
     eval_coarse_prefilter: bool = True
     eval_prefilter_stride: int = 8
     eval_fine_candidates: int = 512
+    # Eval-time per-ray sample-slot cap (t-ordered: keeps the NEAREST
+    # occupied samples). MEASURED HARMFUL on a 4k-step quality checkpoint
+    # (capped-64 render: 15.5 dB vs the uncapped 25.1 dB vs GT): a
+    # partially-carved grid marks long empty runs in front of the surface,
+    # which pushes the surface past any fixed slot cap. Kept as an opt-in
+    # knob for tightly-carved grids; the DEFAULT eval-tail cut is the
+    # sigma-probed early termination below, which spends a cheap coarse
+    # density pass to find where transmittance actually collapses.
+    # -1 = uncapped. Training always uses max_samples_per_ray.
+    eval_max_samples_per_ray: int = -1
+    # Eval-time transmittance early termination (the fixed-shape analogue
+    # of nerfacc's sampling early stop): probe the field density at every
+    # ``eval_termination_probe_stride``-th compacted sample slot (its own
+    # budget = budget/stride), accumulate coarse transmittance, and drop
+    # every sample behind the point where T falls below this threshold
+    # (+ one coarse group of safety margin). Samples behind a terminated
+    # surface render nothing but dominate eval field cost (measured 81
+    # marked samples per object ray vs ~10 contributing). 0 disables.
+    eval_early_stop_trans: float = 1e-4
+    eval_termination_probe_stride: int = 4
+    # Strided eval marching: probe a one-cell-DILATED grid every k-th
+    # candidate over the FULL span (one lookup vouches for k neighbors; no
+    # coarse/fine split needed). The occupancy probes are scalar bool
+    # gathers — the measured render wall (93 ms/frame at stride 2 +
+    # two-phase, PERF.md render section) — so probe count is the lever.
+    # Conservative superset of the exact march when (stride/2) *
+    # render_step_size <= one base-level cell (a probe then sits within the
+    # 1-cell dilation margin of every sample it vouches for) — the caller
+    # clamps the stride to that bound (flagship geometry: safe up to 6).
+    # Extra near-boundary samples this admits carry the field's real (low)
+    # density there and are removed by the same alpha_thre pruning the
+    # reference applies. 1 = exact per-candidate lookups (the two-phase
+    # coarse prefilter then handles the span reduction instead).
+    eval_probe_stride: int = 4
     # hard cap on how far the budget may GROW, in units of sample chunks
     # (max_n_samples_per_batch): every budget sample stores its encode
     # residuals across the lax.map (~2.5 KB/sample with the folded BH + bf16

@@ -292,13 +292,21 @@ class NeRSembleTrainer:
         self._occ_update = jax.jit(lambda p, g, i, s: occ_update(p, g, i, s, False),
                                    donate_argnums=(1,))
 
-        def render_chunk(params, grid_occs, grid_mask, batch, sched,
+        def render_chunk(params, fparams, grid_occs, grid_mask, batch, sched,
                          budget=None):
             binaries = model.binaries(grid_occs, grid_mask)
             out = model.render_rays(params, batch, binaries, sched,
-                                    rng=None, train=False, budget=budget)
-            keep = ("rgb", "depth", "accumulation", "deformation")
-            kept = {k: out[k] for k in keep if k in out}
+                                    rng=None, train=False, budget=budget,
+                                    fparams=fparams)
+            # ONE packed [R, 8] output array (rgb 3 | depth 1 | acc 1 |
+            # deformation 3): each separately-fetched narrow output costs a
+            # device relayout + a tunnel round trip — 3 fetches measured
+            # 116 ms/chunk vs ~103 ms of render compute; the single packed
+            # fetch is ~11 ms (PERF.md render section).
+            cols = [out["rgb"], out["depth"], out["accumulation"]]
+            cols.append(out.get("deformation",
+                                jnp.zeros_like(out["rgb"])))
+            kept = {"_packed": jnp.concatenate(cols, axis=1)}
             kept["_n_valid"] = jnp.sum(out["num_samples_per_ray"]) \
                 + out.get("num_budget_dropped", 0)
             kept["_n_budget_dropped"] = out.get("num_budget_dropped",
@@ -308,11 +316,24 @@ class NeRSembleTrainer:
         def make_render_chunk(budget):
             import functools
             return jax.jit(functools.partial(render_chunk, budget=budget),
-                           in_shardings=(None, replicated, replicated,
+                           in_shardings=(None, None, replicated, replicated,
                                          sharded, replicated))
 
         self._render_chunks = {None: make_render_chunk(None)}
         self._make_render_chunk = make_render_chunk
+        # the eval-time quad gather operand: built once per (params, image)
+        # instead of once per chunk — ~22 rebuilds per eval image at the
+        # default 1024-ray chunk (PERF.md render section)
+        from nersemble_tpu.models.field import prepare_field
+
+        model_cfg = self.config.model
+
+        def _prep(params):
+            return prepare_field(params["field"], model_cfg, model.levels,
+                                 replicate_sharding=model.table_replicate_sharding)
+
+        self._prepare_fparams = jax.jit(_prep)
+        self._fparams_cache = None  # (params_object, fparams)
         self._render_chunk = self._render_chunks[None]
 
     # ------------------------------------------------------------------
@@ -523,13 +544,15 @@ class NeRSembleTrainer:
         host_batch = next(self._eval_batch_iter)
         batch = self._device_batch(host_batch)
         sched = self.sched_values(step)
-        out = self._render_chunk(self.params, self.grid_occs, self.grid_mask,
+        out = self._render_chunk(self.params, None, self.grid_occs,
+                                 self.grid_mask,
                                  {k: batch[k] for k in
                                   ("origins", "directions", "timesteps",
                                    "camera_indices")}, sched)
+        rgb = out["_packed"][:, 0:3]
         scalars = {
-            "eval_psnr": float(M.psnr(out["rgb"], batch["rgb"])),
-            "eval_mse": float(M.mse(out["rgb"], batch["rgb"])),
+            "eval_psnr": float(M.psnr(rgb, batch["rgb"])),
+            "eval_mse": float(M.mse(rgb, batch["rgb"])),
         }
         self.writer.put_scalars(step, scalars)
 
@@ -553,7 +576,17 @@ class NeRSembleTrainer:
         H, W = image_rays["height"], image_rays["width"]
         n = H * W
         sched = self.sched_values(step)
-        S = self.config.model.sampling.max_samples_per_ray
+        scfg = self.config.model.sampling
+        S = scfg.max_samples_per_ray
+        if scfg.eval_max_samples_per_ray > 0:
+            S = min(S, scfg.eval_max_samples_per_ray)
+        # quad gather operand: built once per params object, reused across
+        # this image's chunks (the cache holds a ref, so id() stays valid)
+        if self._fparams_cache is None \
+                or self._fparams_cache[0] is not self.params:
+            self._fparams_cache = (self.params,
+                                   self._prepare_fparams(self.params))
+        fparams = self._fparams_cache[1]
 
         def quantize(fill: float) -> int:
             b = int(fill * 1.5)
@@ -582,7 +615,8 @@ class NeRSembleTrainer:
             if use_budget is not None and use_budget not in self._render_chunks:
                 self._render_chunks[use_budget] = \
                     self._make_render_chunk(use_budget)
-            out = self._render_chunks[use_budget](self.params, self.grid_occs,
+            out = self._render_chunks[use_budget](self.params, fparams,
+                                                  self.grid_occs,
                                                   self.grid_mask, batch, sched)
             if budget == "auto" and self._auto_render_budget is None:
                 self._auto_render_budget = quantize(float(out["_n_valid"]))
@@ -597,19 +631,20 @@ class NeRSembleTrainer:
                 if rec[3] is None or float(rec[2]["_n_budget_dropped"]) <= 0:
                     continue
                 rec[2] = self._render_chunks[None](
-                    self.params, self.grid_occs, self.grid_mask, rec[4], sched)
+                    self.params, fparams, self.grid_occs, self.grid_mask,
+                    rec[4], sched)
                 self._auto_render_budget = max(
                     self._auto_render_budget or 0,
                     quantize(float(rec[2]["_n_valid"])))
 
-        outs = {"rgb": [], "depth": [], "accumulation": [], "deformation": []}
-        for lo, hi, out, _, _ in results:
-            for key in outs:
-                if key in out:
-                    outs[key].append((out[key], hi - lo))
-        return {key: np.concatenate([np.asarray(a)[:n_valid]
-                                     for a, n_valid in vals]).reshape(H, W, -1)
-                for key, vals in outs.items() if vals}
+        # ONE host transfer per chunk (see render_chunk's packed layout)
+        packed = np.concatenate([np.asarray(out["_packed"])[:hi - lo]
+                                 for lo, hi, out, _, _ in results])
+        image = {"rgb": packed[:, 0:3], "depth": packed[:, 3:4],
+                 "accumulation": packed[:, 4:5]}
+        if self.config.model.use_deformation_field:
+            image["deformation"] = packed[:, 5:8]
+        return {key: val.reshape(H, W, -1) for key, val in image.items()}
 
     def _eval_image(self, step: int, image_idx: int = 0) -> Dict[str, float]:
         image_rays = self.eval_loader.image_rays(image_idx)

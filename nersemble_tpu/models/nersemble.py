@@ -43,7 +43,8 @@ from nersemble_tpu.ops.rendering import (
     render_rgb,
     render_weights,
 )
-from nersemble_tpu.ops.sampling import compact_samples, march_rays, permute_rows
+from nersemble_tpu.ops.sampling import (compact_samples, march_rays,
+                                        permute_rows, scatter_rows_back)
 
 _BACKGROUNDS = {"white": (1.0, 1.0, 1.0), "black": (0.0, 0.0, 0.0)}
 
@@ -256,19 +257,28 @@ class NeRSembleModel:
 
     def render_rays(self, params, rays: Dict, binaries, sched: Dict,
                     rng=None, train: bool = True,
-                    budget: Optional[int] = None) -> Dict:
+                    budget: Optional[int] = None,
+                    fparams=None) -> Dict:
         """Render a fixed-shape ray batch.
 
         rays: origins [R,3], directions [R,3], timesteps [R] int32,
         optional camera_indices [R] int32. ``budget`` overrides the
         compaction sample budget (static python int; None derives it from
         sampling.global_budget_fraction — see the adaptive-budget logic in
-        engine/trainer.py).
+        engine/trainer.py). ``fparams``: optionally a PRE-BUILT
+        ``prepare_field(params["field"], ...)`` result — at eval the quad
+        gather operand doesn't change between an image's chunks, so the
+        caller builds it once per image instead of once per chunk
+        (engine/trainer.render_image; PERF.md render section).
         """
         cfg = self.config
         origins, directions = rays["origins"], rays["directions"]
         R = origins.shape[0]
         S = cfg.sampling.max_samples_per_ray
+        if not train and cfg.sampling.eval_max_samples_per_ray > 0:
+            # fixed-shape stand-in for nerfacc's eval transmittance early
+            # termination — see SamplingConfig.eval_max_samples_per_ray
+            S = min(S, cfg.sampling.eval_max_samples_per_ray)
         n_cand = cfg.sampling.max_candidates_per_ray
 
         jitter = None
@@ -281,28 +291,51 @@ class NeRSembleModel:
         # top_k/compaction input ~n_cand/eval_fine_candidates x.
         scfg = cfg.sampling
         start_steps = None
+        march_binaries, occupancy_stride = binaries, 1
         if (not train and scfg.eval_coarse_prefilter and binaries is not None
-                and not cfg.disable_occupancy_grid
-                and scfg.eval_fine_candidates < n_cand):
+                and not cfg.disable_occupancy_grid):
             from nersemble_tpu.ops.sampling import (
                 coarse_entry_steps,
                 dilate_binaries,
                 march_range,
             )
-            t_near, t_far = march_range(origins, directions, self.aabb_min,
-                                        self.aabb_max, binaries,
-                                        cfg.near_plane, cfg.far_plane)
-            start_steps = coarse_entry_steps(
-                origins, directions, t_near, t_far, dilate_binaries(binaries),
-                self.aabb_min, self.aabb_max, cfg.render_step_size, n_cand,
-                scfg.eval_prefilter_stride, cfg.cone_angle)
-            n_cand = max(scfg.eval_fine_candidates, S)
+            # strided probing on a dilated grid (see march_rays
+            # occupancy_stride): safe while a probe stays within one
+            # base-level cell of every sample it vouches for —
+            # (stride/2) * dt <= cell. cone_angle grows the step with t, so
+            # the bound doesn't hold globally there: fall back to exact.
+            stride = 1
+            if scfg.eval_probe_stride > 1 and cfg.cone_angle == 0.0:
+                box = np.asarray(cfg.scene_box, np.float32)  # static
+                cell = float(np.min(box[1] - box[0])) / cfg.grid_resolution
+                stride = min(scfg.eval_probe_stride,
+                             max(int(2.0 * cell / cfg.render_step_size), 1))
+            if stride > 1:
+                # single-phase strided march over the FULL span: fewer
+                # probes than any coarse/fine split (probes/ray = n_cand /
+                # stride), and no entry-point pass at all
+                occupancy_stride = stride
+                march_binaries = dilate_binaries(binaries)
+            elif scfg.eval_fine_candidates < n_cand:
+                # exact probing: two-phase coarse prefilter to shrink the
+                # fine span (cone-angle marching lands here)
+                t_near, t_far = march_range(origins, directions,
+                                            self.aabb_min, self.aabb_max,
+                                            binaries, cfg.near_plane,
+                                            cfg.far_plane)
+                start_steps = coarse_entry_steps(
+                    origins, directions, t_near, t_far,
+                    dilate_binaries(binaries), self.aabb_min, self.aabb_max,
+                    cfg.render_step_size, n_cand,
+                    scfg.eval_prefilter_stride, cfg.cone_angle)
+                n_cand = max(scfg.eval_fine_candidates, S)
 
         samples, info = march_rays(
             origins, directions, self.aabb_min, self.aabb_max,
-            cfg.render_step_size, n_cand, S, binaries=binaries,
+            cfg.render_step_size, n_cand, S, binaries=march_binaries,
             near_plane=cfg.near_plane, far_plane=cfg.far_plane, jitter=jitter,
-            cone_angle=cfg.cone_angle, start_steps=start_steps)
+            cone_angle=cfg.cone_angle, start_steps=start_steps,
+            occupancy_stride=occupancy_stride)
 
         timesteps = rays.get("timesteps")
         if timesteps is None:
@@ -312,8 +345,10 @@ class NeRSembleModel:
             cam_idx = jnp.zeros((R,), jnp.int32)
 
         # z-paired gather operand, built ONCE (outside the chunk loop)
-        fparams = prepare_field(params["field"], cfg, self.levels,
-                                replicate_sharding=self.table_replicate_sharding)
+        if fparams is None:
+            fparams = prepare_field(
+                params["field"], cfg, self.levels,
+                replicate_sharding=self.table_replicate_sharding)
 
         def body(pos, ts, dirs, cam):
             tc, tc_def = self._time_codes(params, ts)
@@ -343,6 +378,73 @@ class NeRSembleModel:
             budget = -(-int(R * S * frac) // 128) * 128 \
                 if 0 < frac < 1.0 else R * S
         budget = min(budget, R * S)
+
+        # ONE row gather for all per-ray inputs (int columns bitcast f32);
+        # shared by the termination probe and the compaction gather
+        ray_pack = jnp.concatenate([
+            origins, directions,
+            jax.lax.bitcast_convert_type(timesteps, jnp.float32)[:, None],
+            jax.lax.bitcast_convert_type(cam_idx, jnp.float32)[:, None],
+        ], axis=1)
+
+        # ---- eval sigma-probed early termination ---------------------------
+        # The fixed-shape analogue of nerfacc's eval transmittance early
+        # stop (reference sampler: nersemble_volumetric_sampler.py:95-108's
+        # sigma_fn loop): probe density at every ps-th compacted slot,
+        # accumulate coarse transmittance, and drop samples behind the point
+        # where T collapses. Marked-but-occluded interior samples dominate
+        # eval cost (measured 81 marked/object-ray vs ~10 contributing).
+        # Conservative: coarse slots that miss the probe budget contribute
+        # sigma=0 (no premature termination) and the group where T crosses
+        # the threshold is always kept.
+        n_samples_out = info["n_samples_per_ray"]
+        ps = scfg.eval_termination_probe_stride
+        if (not train and scfg.eval_early_stop_trans > 0
+                and budget < R * S and ps > 1 and S >= 2 * ps):
+            from nersemble_tpu.ops.rendering import exclusive_cumsum
+            Sc = S // ps
+            sub_mask = samples.mask[:, :Sc * ps:ps]
+            sub_t = ((samples.t_starts + samples.t_ends)
+                     * 0.5)[:, :Sc * ps:ps]
+            deltas = (samples.t_ends - samples.t_starts) * samples.mask
+            delta_c = deltas[:, :Sc * ps].reshape(R, Sc, ps).sum(-1)
+            bc = min(-(-max(budget // ps, 128) // 128) * 128, R * Sc)
+            sel_c, _, _, kept_c = compact_samples(sub_mask, bc)
+            tmid_c = jnp.take(sub_t.T.reshape(-1), sel_c)
+            picked_c = jnp.take(ray_pack, sel_c % R, axis=0)
+            pos_p = picked_c[:, 0:3] + picked_c[:, 3:6] * tmid_c[:, None]
+            ts_p = jax.lax.bitcast_convert_type(picked_c[:, 6], jnp.int32)
+
+            def density_body(pos, ts):
+                tc, tc_def = self._time_codes(params, ts)
+                pos = self._warp_positions(params, pos, tc_def, sched)
+                density, _ = field_density(
+                    fparams, pos, tc, cfg, self.levels, self.aabb_min,
+                    self.aabb_max, window_hash=sched.get("window_hash"),
+                    compute_dtype=self.compute_dtype)
+                return density
+
+            sigma_p = self._chunked_samples(density_body, (pos_p, ts_p), bc)
+            # route back to [R, Sc] (width-8 pad: W=1 scatters hit the
+            # scalar slow path)
+            sig_pack = jnp.concatenate(
+                [sigma_p[:, None], jnp.zeros((bc, 7), sigma_p.dtype)], axis=1)
+            sig_back = scatter_rows_back(sig_pack, sel_c, R * Sc)[:, 0]
+            sigma_c = sig_back.reshape(Sc, R).T * kept_c
+            trans_c = jnp.exp(-exclusive_cumsum(sigma_c * delta_c, axis=-1))
+            alive = trans_c >= scfg.eval_early_stop_trans  # [R, Sc]
+            # one extra coarse group of margin (probe sigma is a one-point
+            # estimate of the group)
+            alive = alive | jnp.pad(alive[:, :-1], ((0, 0), (1, 0)),
+                                    constant_values=True)
+            fine_keep = jnp.repeat(alive, ps, axis=1)
+            if S > Sc * ps:
+                fine_keep = jnp.concatenate(
+                    [fine_keep,
+                     jnp.broadcast_to(alive[:, -1:], (R, S - Sc * ps))], 1)
+            samples = samples._replace(mask=samples.mask & fine_keep)
+            n_samples_out = jnp.sum(samples.mask, -1)
+
         n_budget_dropped = jnp.int32(0)
         if budget < R * S:
             # global compaction: evaluate only `budget` samples, picked from
@@ -353,12 +455,6 @@ class NeRSembleModel:
             ray_id = sel % R
             tmid_t = ((samples.t_starts + samples.t_ends) * 0.5).T.reshape(-1)
             tmid = jnp.take(tmid_t, sel)
-            # ONE row gather for all per-ray inputs (int columns bitcast f32)
-            ray_pack = jnp.concatenate([
-                origins, directions,
-                jax.lax.bitcast_convert_type(timesteps, jnp.float32)[:, None],
-                jax.lax.bitcast_convert_type(cam_idx, jnp.float32)[:, None],
-            ], axis=1)
             picked = jnp.take(ray_pack, ray_id, axis=0)  # [budget, 8]
             pos_c = picked[:, 0:3] + picked[:, 3:6] * tmid[:, None]
             ts_c = jax.lax.bitcast_convert_type(picked[:, 6], jnp.int32)
@@ -371,9 +467,18 @@ class NeRSembleModel:
             out_pack = jnp.concatenate([
                 density_c[:, None], rgbs_c, offs_c,
                 jnp.zeros((budget, 1), density_c.dtype)], axis=1)  # pad to 8
-            padded = jnp.concatenate(
-                [out_pack, jnp.zeros((R * S - budget, 8), out_pack.dtype)])
-            back = permute_rows(padded, inv, order)  # [S*R, 8]
+            if budget <= (R * S) // 4:
+                # scatter `budget` rows instead of gathering all R*S rows:
+                # measured scatter ~11 M rows/s at W=8 vs route-back gather
+                # ~46 M rows/s over the FULL R*S — scatter wins while
+                # budget < R*S/4 (ops/sampling.py scatter_rows_back; the
+                # full-gather route was 187 ms/frame on the render bench,
+                # PERF.md render section)
+                back = scatter_rows_back(out_pack, sel, R * S)
+            else:
+                padded = jnp.concatenate(
+                    [out_pack, jnp.zeros((R * S - budget, 8), out_pack.dtype)])
+                back = permute_rows(padded, inv, order)  # [S*R, 8]
             back = back.reshape(S, R, 8).transpose(1, 0, 2)
             sigmas = back[..., 0] * samples.mask
             rgbs = back[..., 1:4].reshape(R * S, 3)
@@ -433,7 +538,7 @@ class NeRSembleModel:
             "depth": render_depth_expected(weights, samples.t_starts, samples.t_ends),
             "weights": weights,
             "samples": samples,
-            "num_samples_per_ray": info["n_samples_per_ray"],
+            "num_samples_per_ray": n_samples_out,
             "num_dropped_per_ray": info["n_dropped_per_ray"],
             "num_budget_dropped": n_budget_dropped,
         }

@@ -19,6 +19,7 @@ typically negligible); the wasted-lane fraction and overflow count are
 reported as diagnostics.
 """
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -66,6 +67,34 @@ def _permute_rows_bwd(res, g):
 
 
 permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def scatter_rows_back(x: jnp.ndarray, sel: jnp.ndarray,
+                      n_total: int) -> jnp.ndarray:
+    """Route ``x [budget, W]`` to rows ``sel`` of a zero [n_total, W] buffer.
+
+    The inverse of selecting rows ``sel``: equivalent to
+    ``permute_rows(pad(x), inv, order)`` but costs ``budget`` scattered rows
+    instead of ``n_total`` gathered rows — the winning formulation when the
+    compaction budget is a small fraction of R*S (the eval path: an
+    auto-probed 8k budget against a 4.2M-slot chunk made the route-back
+    gather the single largest op of the render step, 187 ms/frame —
+    PERF.md render section). ``sel`` must be duplicate-free (compaction
+    ranks are). Backward is a ``budget``-row gather.
+    """
+    return jnp.zeros((n_total, x.shape[1]), x.dtype).at[sel].set(x)
+
+
+def _scatter_rows_back_fwd(x, sel, n_total):
+    return scatter_rows_back(x, sel, n_total), sel
+
+
+def _scatter_rows_back_bwd(n_total, sel, g):
+    return jnp.take(g, sel, axis=0), None
+
+
+scatter_rows_back.defvjp(_scatter_rows_back_fwd, _scatter_rows_back_bwd)
 
 
 def compact_samples(mask: jnp.ndarray, budget: int):
@@ -283,7 +312,8 @@ def march_rays(origins: jnp.ndarray,
                far_plane: float = 1e10,
                jitter: Optional[jnp.ndarray] = None,
                cone_angle: float = 0.0,
-               start_steps: Optional[jnp.ndarray] = None):
+               start_steps: Optional[jnp.ndarray] = None,
+               occupancy_stride: int = 1):
     """Full sampler: rays -> compacted RaySamples + diagnostics.
 
     jitter: optional [R] uniforms in [0,1) shifting each ray's sample comb
@@ -296,6 +326,13 @@ def march_rays(origins: jnp.ndarray,
     start_steps: optional [R] per-ray step offsets added to the candidate
     comb (the coarse-prefilter entry points, see coarse_entry_steps) — the
     fine window then covers steps [start, start + n_candidates).
+    occupancy_stride > 1: probe ``binaries`` once per ``stride`` candidates
+    (at the group's t-center) and let the result vouch for the whole group —
+    the eval-path fast mode. REQUIRES a dilated grid (see dilate_binaries)
+    and (stride/2)*render_step_size <= one cell, so a probe can never sit
+    outside the dilated footprint of a cell one of its group's samples is
+    in: the marked-valid set is then a superset of the exact march's (extra
+    members only border occupied cells; alpha_thre pruning removes them).
     Returns (RaySamples, info dict).
     """
     t_near, t_far = march_range(origins, directions, aabb_min, aabb_max,
@@ -316,8 +353,23 @@ def march_rays(origins: jnp.ndarray,
     valid = mids < t_far[:, None]  # [R, N]
 
     if binaries is not None:
-        pos = origins[:, None, :] + directions[:, None, :] * mids[..., None]
-        occupied = occupancy_lookup(binaries, pos, aabb_min, aabb_max)
+        if occupancy_stride > 1:
+            # one probe per stride-group, at the group's center step index
+            # (max |probe - sample| = (stride/2) * dt — see docstring)
+            n_probe = -(-n_candidates // occupancy_stride)
+            kp = (jnp.arange(n_probe, dtype=origins.dtype) * occupancy_stride
+                  + 0.5 * occupancy_stride)[None, :] + offset[:, None]
+            if cone_angle > 0.0:
+                tp = cone_march_ts(t_near, kp, render_step_size, cone_angle)
+            else:
+                tp = t_near[:, None] + kp * render_step_size
+            posp = origins[:, None, :] + directions[:, None, :] * tp[..., None]
+            occ_p = occupancy_lookup(binaries, posp, aabb_min, aabb_max)
+            occupied = jnp.repeat(occ_p, occupancy_stride,
+                                  axis=1)[:, :n_candidates]
+        else:
+            pos = origins[:, None, :] + directions[:, None, :] * mids[..., None]
+            occupied = occupancy_lookup(binaries, pos, aabb_min, aabb_max)
         valid = valid & occupied
 
     # Compaction via top_k on an index key: the S smallest candidate indices

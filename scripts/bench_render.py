@@ -31,6 +31,14 @@ def main():
     ap.add_argument("--downscale", type=int, default=1,
                     help="extra downscale on top of the dataset's")
     ap.add_argument("--chunk", type=int, default=2 ** 14)
+    ap.add_argument("--trace", type=str, default=None,
+                    help="write a jax.profiler trace of 2 frames to this dir")
+    ap.add_argument("--orbit-distance", type=float, default=1.0,
+                    help="orbit radius in calibration units (synthetic rig "
+                         "cameras sit at 1.0)")
+    ap.add_argument("--orbit-center", type=float, nargs=3, default=(0, 0, 0),
+                    help="orbit/look-at center in calibration units (the "
+                         "synthetic object is at the origin)")
     args = ap.parse_args()
 
     import glob
@@ -63,8 +71,13 @@ def main():
                                data_location=args.data_root)
     checkpoint = trainer.start_step - 1
 
-    poses_cv = circle_around_axis(args.frames, axis=(0, 1, 0), up=(0, 0, 1),
-                                  move=(0, -1, 0), distance=0.3)
+    # orbit the synthetic object (at the calibration-space origin; rig
+    # cameras sit at distance 1.0 with y DOWN) — the reference CLI's
+    # move=(0,-1,0)/distance=0.3 is tuned for the real capture's head
+    # position and renders pure background on the synthetic scene
+    poses_cv = circle_around_axis(args.frames, axis=(0, 1, 0), up=(0, -1, 0),
+                                  move=tuple(args.orbit_center),
+                                  distance=args.orbit_distance)
     scale = config.data.scale_factor
     out = trainer.train_outputs
     intr = trainer.dataparser.data_manager.load_camera_params().intrinsics
@@ -87,11 +100,22 @@ def main():
                                     chunk=args.chunk, budget="auto")
 
     render(0)  # warmup/compile
+    if args.trace:
+        import jax
+        with jax.profiler.trace(args.trace):
+            render(1)
+            render(2)
     t0 = time.perf_counter()
+    acc_mean = 0.0
     for i in range(args.frames):
         frame = render(i)
+        acc_mean += float(frame["accumulation"].mean()) / args.frames
     dt = time.perf_counter() - t0
     fps = args.frames / dt
+    if acc_mean < 0.01:
+        print("WARNING: trajectory renders (almost) nothing — acc_mean "
+              f"{acc_mean:.4f}; fps below measures the empty-frame case",
+              file=sys.stderr)
     print(json.dumps({
         "metric": "render_fps",
         "value": round(fps, 3),
@@ -103,6 +127,7 @@ def main():
             "ms_per_frame": round(dt / args.frames * 1000, 1),
             "chunk": args.chunk,
             "auto_budget": getattr(trainer, "_auto_render_budget", None),
+            "mean_accumulation": round(acc_mean, 4),
             "run": run,
         },
     }))

@@ -381,7 +381,7 @@ def test_eval_coarse_prefilter_matches_full_march():
     cfg_on = tiny_model_config(**{**base, "sampling": SamplingConfig(
         max_samples_per_ray=32, max_candidates_per_ray=96,
         eval_coarse_prefilter=True, eval_prefilter_stride=4,
-        eval_fine_candidates=48)})
+        eval_fine_candidates=48, eval_probe_stride=1)})
     m_off = NeRSembleModel(cfg_off)
     m_on = NeRSembleModel(cfg_on)
     params = m_off.init_params(jax.random.PRNGKey(0))
@@ -402,6 +402,101 @@ def test_eval_coarse_prefilter_matches_full_march():
         np.testing.assert_allclose(np.asarray(out_on[key]),
                                    np.asarray(out_off[key]),
                                    atol=2e-5, err_msg=key)
+
+
+def test_eval_strided_fine_probe_is_conservative_superset():
+    """march_rays(occupancy_stride=2, dilated grid) must KEEP every sample
+    the exact march keeps (the strided probe may only ADD boundary samples,
+    never lose occupied ones) — the safety property behind
+    eval_probe_stride. Checked with S = n_candidates so slot
+    compaction can't mask a lost sample."""
+    from nersemble_tpu.config import SamplingConfig
+    from nersemble_tpu.ops.sampling import dilate_binaries, march_rays
+
+    base = dict(use_hash_ensemble=False, use_deformation_field=False,
+                n_timesteps=1, num_levels=4, log2_hashmap_size=8,
+                base_resolution=4, max_res=16, alpha_thre=0.0,
+                sampling=SamplingConfig(max_samples_per_ray=96,
+                                        max_candidates_per_ray=96))
+    cfg = tiny_model_config(**base)
+    m = NeRSembleModel(cfg)
+    rng = np.random.default_rng(11)
+    rays = make_rays(32, rng)
+
+    g = cfg.grid_resolution
+    occ = np.zeros((g, g, g), bool)
+    occ[rng.random((g, g, g)) < 0.08] = True
+    occ[6:10, 5:11, 5:11] = True
+    binaries = jnp.asarray(occ)
+
+    exact, _ = march_rays(rays["origins"], rays["directions"], m.aabb_min,
+                          m.aabb_max, cfg.render_step_size, 96, 96,
+                          binaries=binaries, near_plane=cfg.near_plane,
+                          far_plane=cfg.far_plane)
+    strided, _ = march_rays(rays["origins"], rays["directions"], m.aabb_min,
+                            m.aabb_max, cfg.render_step_size, 96, 96,
+                            binaries=dilate_binaries(binaries),
+                            near_plane=cfg.near_plane,
+                            far_plane=cfg.far_plane, occupancy_stride=2)
+    assert bool(jnp.any(exact.mask)) and bool(jnp.any(strided.mask))
+    # same candidate comb => compare by t_starts membership per ray
+    for r in range(32):
+        te = set(np.asarray(exact.t_starts[r])[np.asarray(exact.mask[r])]
+                 .round(6).tolist())
+        ts = set(np.asarray(strided.t_starts[r])[np.asarray(strided.mask[r])]
+                 .round(6).tolist())
+        assert te <= ts, f"ray {r}: strided probe lost {te - ts}"
+
+
+def test_eval_sigma_probed_early_termination_bounded_error():
+    """The σ-probed eval early termination (eval_early_stop_trans) may only
+    drop samples behind the point where transmittance has collapsed below
+    the threshold — so its render must (a) actually drop samples on a dense
+    near-init field (trunc_exp(0) ≈ 1 ⇒ T decays below 0.05 mid-ray) and
+    (b) differ from the exact render by at most the dropped tail's weight,
+    ~= the threshold (dropped mass ≤ T at the cut ≤ eps; the background
+    re-blend doubles it). Reference analogue: nerfacc's eval sigma_fn
+    early stop (nersemble_volumetric_sampler.py:95-108)."""
+    from nersemble_tpu.config import SamplingConfig
+
+    eps = 0.05
+    # a 4-unit path through near-init density (trunc_exp(0) ≈ 1) gives
+    # optical depth ~4 ⇒ T_end ~ 0.018 < eps: termination fires mid-ray
+    base = dict(use_hash_ensemble=False, use_deformation_field=False,
+                n_timesteps=1, num_levels=4, log2_hashmap_size=8,
+                base_resolution=4, max_res=16, alpha_thre=0.0,
+                scene_box=[[-2.0, -2.0, -2.0], [2.0, 2.0, 2.0]])
+    cfg_exact = tiny_model_config(**base, sampling=SamplingConfig(
+        max_samples_per_ray=96, max_candidates_per_ray=96,
+        eval_early_stop_trans=0.0))
+    cfg_fast = tiny_model_config(**base, sampling=SamplingConfig(
+        max_samples_per_ray=96, max_candidates_per_ray=96,
+        eval_early_stop_trans=eps, eval_termination_probe_stride=4))
+    m_exact = NeRSembleModel(cfg_exact)
+    m_fast = NeRSembleModel(cfg_fast)
+    params = m_exact.init_params(jax.random.PRNGKey(0))
+    rays = make_rays(16, np.random.default_rng(7))
+
+    # budget < R*S (the termination branch requires compaction) but big
+    # enough that no VALID sample is budget-dropped in either run — any
+    # output difference is then attributable to the termination alone
+    budget = 16 * 88
+    out_e = m_exact.render_rays(params, rays, None, {}, train=False,
+                                budget=budget)
+    out_f = m_fast.render_rays(params, rays, None, {}, train=False,
+                               budget=budget)
+    n_e = int(np.asarray(out_e["num_samples_per_ray"]).sum())
+    n_f = int(np.asarray(out_f["num_samples_per_ray"]).sum())
+    assert n_f < n_e, "termination never triggered — test is vacuous"
+    assert int(out_e["num_budget_dropped"]) == 0
+    assert int(out_f["num_budget_dropped"]) == 0
+    for key, tol in (("rgb", 2.5 * eps), ("accumulation", 1.5 * eps)):
+        diff = np.abs(np.asarray(out_f[key]) - np.asarray(out_e[key])).max()
+        assert diff <= tol, f"{key}: max |fast - exact| {diff} > {tol}"
+    # the kept prefix is evaluated identically: weights match where kept
+    w_e, w_f = np.asarray(out_e["weights"]), np.asarray(out_f["weights"])
+    kept = w_f > 0
+    np.testing.assert_allclose(w_f[kept], w_e[kept], atol=1e-5)
 
 
 def test_dilate_binaries_and_coarse_entry():

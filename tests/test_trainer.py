@@ -179,6 +179,50 @@ def test_multichip_sharded_step_matches_single(env_setup):
 
 
 @pytest.mark.slow
+def test_multichip_sharded_render_matches_single(env_setup):
+    """The eval render path rides the same ray-DP mesh as training: a full
+    render_image over the 8-device CPU mesh must match the 1-device render
+    of the same checkpoint (the basis for the 8-chip render-fps projection
+    — reference render path: util/render.py:13-73)."""
+    import jax
+
+    from nersemble_tpu.engine.trainer import NeRSembleTrainer
+
+    data_root, models_root, meta = env_setup
+    folder = NeRSembleModelFolder(models_path=models_root)
+
+    # train once on 1 device, checkpoint
+    manager = folder.new_run(name="rmesh")
+    config = tiny_train_config(manager.get_run_name(), folder.get_location())
+    config.model.table_dtype = "float32"  # isolate sharding from bf16 order
+    config.max_num_iterations = 4
+    config.steps_per_save = 3
+    trainer = NeRSembleTrainer(config, model_manager=manager,
+                               data_location=data_root,
+                               original_image_size=meta["original_size"])
+    trainer.train()
+    trainer.batcher.stop()
+    manager.save_config(config)
+
+    images = {}
+    for n_dev in (1, 8):
+        cfg = manager.load_config()
+        cfg.load_dir = manager.get_checkpoint_folder()
+        cfg.parallel.data_axis_size = n_dev
+        t = NeRSembleTrainer(cfg, model_manager=manager,
+                             data_location=data_root,
+                             original_image_size=meta["original_size"])
+        assert t.n_devices == n_dev
+        rays = t.eval_loader.image_rays(0)
+        images[n_dev] = t.render_image(rays, step=t.start_step - 1, chunk=64)
+        t.batcher.stop()
+
+    for key in ("rgb", "depth", "accumulation"):
+        np.testing.assert_allclose(images[8][key], images[1][key],
+                                   atol=5e-5, rtol=1e-4, err_msg=key)
+
+
+@pytest.mark.slow
 def test_adaptive_budget_shrinks_to_fill(tmp_path_factory):
     """With a sparse scene the compaction budget adapts DOWN to the measured
     valid-sample count (quantized), and training continues across the
