@@ -77,7 +77,9 @@ def run(mode: str, steps: int, data_root: str, models_root: str,
         # (tables ~ timesteps, the reference's blending granularity) so the
         # full 500-steps/table fade fits a 12k-step run; --n-tables 32
         # --steps 22000 reproduces the flagship table count.
-        args += ["--n-hash-encodings", str(n_tables)]
+        # the per-timestep blend code must match the table count
+        args += ["--n-hash-encodings", str(n_tables),
+                 "--latent-dim-time", str(n_tables)]
         begin = max(steps // 10, 1)
         end = begin + 500 * n_tables
         if end > int(steps * 0.85):
