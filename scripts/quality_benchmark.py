@@ -26,27 +26,13 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def run(mode: str, steps: int, data_root: str, models_root: str,
-        eval_every: int, n_timesteps_dyn: int = 16,
-        n_tables: int = 16) -> dict:
-    import numpy as np
-
-    import nersemble_tpu.env as env_module
-    from tests.synthetic_data import make_synthetic_dataset
-    from nersemble_tpu.scripts import train_nersemble
-
-    n_timesteps = 1 if mode == "static" else n_timesteps_dyn
-    squash = 0.0 if mode == "static" else 0.15
-    seq = f"SYN-Q-{mode.upper()}"
-    meta = make_synthetic_dataset(
-        data_root, sequence_name=seq, n_timesteps=n_timesteps,
-        original_size=(256, 352), texture=True, squash=squash)
-
-    env_module.NERSEMBLE_DATA_PATH = data_root
-    env_module.NERSEMBLE_MODELS_PATH = models_root
-
-    # the benched configuration (bench.py/__graft_entry__ flagship), with
-    # schedules compressed to the run length
+def build_train_args(mode: str, steps: int, seq: str, eval_every: int,
+                     n_tables: int = 16) -> list:
+    """Train-CLI arg list for a quality run: the benched configuration
+    (bench.py/__graft_entry__ flagship) with schedules compressed to the run
+    length. Pure function so tests can assert the args build a valid config
+    (a 16-table study once crashed on the latent_dim_time assertion only at
+    launch time)."""
     args = [
         "30", seq,
         "--name", f"quality-{mode}",
@@ -91,6 +77,27 @@ def run(mode: str, steps: int, data_root: str, models_root: str,
         args += ["--window-deform-end", str(begin),
                  "--window-hash-encodings-begin", str(begin),
                  "--window-hash-encodings-end", str(end)]
+    return args
+
+
+def run(mode: str, steps: int, data_root: str, models_root: str,
+        eval_every: int, n_timesteps_dyn: int = 16,
+        n_tables: int = 16) -> dict:
+    import nersemble_tpu.env as env_module
+    from tests.synthetic_data import make_synthetic_dataset
+    from nersemble_tpu.scripts import train_nersemble
+
+    n_timesteps = 1 if mode == "static" else n_timesteps_dyn
+    squash = 0.0 if mode == "static" else 0.15
+    seq = f"SYN-Q-{mode.upper()}"
+    make_synthetic_dataset(
+        data_root, sequence_name=seq, n_timesteps=n_timesteps,
+        original_size=(256, 352), texture=True, squash=squash)
+
+    env_module.NERSEMBLE_DATA_PATH = data_root
+    env_module.NERSEMBLE_MODELS_PATH = models_root
+
+    args = build_train_args(mode, steps, seq, eval_every, n_tables=n_tables)
 
     t0 = time.time()
     result = train_nersemble.main(args)

@@ -156,6 +156,27 @@ def test_cli_defaults_match_benched_config():
     assert config.model.early_stop_eps == 0.0  # train_nersemble.py:192
 
 
+def test_quality_study_args_build_valid_models():
+    """The quality study's generated train-CLI args must construct a model
+    without tripping config invariants (the prepared 16-table dynamic study
+    once crashed at launch on latent_dim_time != n_hash_encodings)."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    from quality_benchmark import build_train_args
+    from nersemble_tpu.models.nersemble import NeRSembleModel
+    from nersemble_tpu.scripts.train_nersemble import build_config, build_parser
+
+    for mode, n_tables in [("static", 16), ("dynamic", 16), ("dynamic", 32)]:
+        argv = build_train_args(mode, 12000, "SYN-Q", 500, n_tables=n_tables)
+        args = build_parser().parse_args(argv)
+        config = build_config(args, "run", "/tmp")
+        if mode == "dynamic":
+            assert config.model.latent_dim_time \
+                == config.model.hash_ensemble.n_hash_encodings == n_tables
+        NeRSembleModel(config.model)  # raises on any config invariant break
+
+
 def test_eval_skip_timesteps_by_frame_number():
     """--skip-timesteps keeps frames by ON-DISK frame number
     (reference: evaluate_nersemble.py:139-141), not by evaluated index."""
