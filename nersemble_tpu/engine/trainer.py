@@ -694,19 +694,32 @@ class NeRSembleTrainer:
 
     def _eval_all_images(self, step: int) -> None:
         """Average metrics over every eval view
-        (reference: nersemble_trainer.py:164-167)."""
+        (reference: nersemble_trainer.py:164-167), plus per-camera and
+        per-timestep PSNR means — a hold-out regression must be attributable
+        (one ghosted camera? late-timestep drift?) without rerunning."""
         psnrs, ssims = [], []
+        by_cam, by_t = {}, {}
         for image_idx in range(len(self.eval_loader)):
             image_rays = self.eval_loader.image_rays(image_idx)
             rendered = self.render_image(image_rays, step)
             gt = jnp.asarray(image_rays["gt_rgb"])
             rgb = jnp.asarray(rendered["rgb"])
-            psnrs.append(float(M.psnr(rgb, gt)))
+            p = float(M.psnr(rgb, gt))
+            psnrs.append(p)
             ssims.append(float(M.ssim(rgb, gt)))
-        self.writer.put_scalars(step, {
+            entry = image_rays["entry"]
+            by_cam.setdefault(entry.cam_id, []).append(p)
+            by_t.setdefault(entry.timestep_index, []).append(p)
+        scalars = {
             "eval_all_psnr": float(np.mean(psnrs)),
             "eval_all_ssim": float(np.mean(ssims)),
-        })
+        }
+        for cam, vals in sorted(by_cam.items()):
+            scalars[f"eval_cam{cam}_psnr"] = float(np.mean(vals))
+        if len(by_t) > 1:
+            for t, vals in sorted(by_t.items()):
+                scalars[f"eval_t{t}_psnr"] = float(np.mean(vals))
+        self.writer.put_scalars(step, scalars)
 
     # ------------------------------------------------------------------
     # checkpointing

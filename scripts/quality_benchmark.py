@@ -109,12 +109,16 @@ def run(mode: str, steps: int, data_root: str, models_root: str,
         models_root, "nersemble", f"*quality-{mode}")))
     metrics_path = Path(run_dirs[-1]) / "metrics.jsonl"
     curve, drops = [], []
+    breakdown = {}
     for line in metrics_path.read_text().splitlines():
         rec = json.loads(line)
         if "eval_all_psnr" in rec:
             curve.append({"step": rec["step"],
                           "eval_psnr": round(rec["eval_all_psnr"], 3),
                           "eval_ssim": round(rec.get("eval_all_ssim", 0), 4)})
+            # last eval's per-camera / per-timestep PSNR attribution
+            breakdown = {k: round(v, 3) for k, v in rec.items()
+                         if k.startswith("eval_cam") or k.startswith("eval_t")}
         if "budget_dropped_per_batch" in rec:
             drops.append({"step": rec["step"],
                           "samples": rec.get("samples_per_batch"),
@@ -126,6 +130,7 @@ def run(mode: str, steps: int, data_root: str, models_root: str,
         "wall_clock_s": round(wall, 1),
         "final_train_psnr": round(result.get("train_psnr", float("nan")), 3),
         "eval_curve": curve,
+        "final_eval_breakdown": breakdown,
         "drop_diagnostics_tail": drops[-5:],
         "run_dir": run_dirs[-1],
         "n_timesteps": n_timesteps,

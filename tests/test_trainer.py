@@ -111,6 +111,14 @@ def test_train_checkpoint_resume_eval(env_setup):
     assert rendered["rgb"].shape == (44, 32, 3)
     assert np.isfinite(rendered["rgb"]).all()
 
+    # eval-all logs per-camera and per-timestep PSNR attribution
+    trainer._eval_all_images(11)
+    eval_recs = [json.loads(line) for line in
+                 open(trainer.run_dir / "metrics.jsonl")
+                 if "eval_all_psnr" in line]
+    assert any(k.startswith("eval_cam") for k in eval_recs[-1])
+    assert any(k.startswith("eval_t") for k in eval_recs[-1])  # 3 timesteps
+
     # simulate an adapted compaction budget and re-save: resume must restore
     # it (VERDICT r2 weak #5 — restarting from the config formula silently
     # drops samples for up to adaptive_budget_interval steps)
