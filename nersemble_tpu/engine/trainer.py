@@ -307,8 +307,11 @@ class NeRSembleTrainer:
             cols.append(out.get("deformation",
                                 jnp.zeros_like(out["rgb"])))
             kept = {"_packed": jnp.concatenate(cols, axis=1)}
-            kept["_n_valid"] = jnp.sum(out["num_samples_per_ray"]) \
-                + out.get("num_budget_dropped", 0)
+            # num_samples_per_ray is counted BEFORE budget compaction, so it
+            # already includes any budget-dropped samples — adding
+            # num_budget_dropped on top double-counted them and inflated the
+            # auto render budget ~40% on under-carved grids
+            kept["_n_valid"] = jnp.sum(out["num_samples_per_ray"])
             kept["_n_budget_dropped"] = out.get("num_budget_dropped",
                                                 jnp.int32(0))
             return kept

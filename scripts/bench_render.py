@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--orbit-center", type=float, nargs=3, default=(0, 0, 0),
                     help="orbit/look-at center in calibration units (the "
                          "synthetic object is at the origin)")
+    ap.add_argument("--no-cc-filter", action="store_true",
+                    help="skip the occupancy CC postfilter (the render/eval "
+                         "CLIs apply it by default — reference protocol, "
+                         "evaluate_nersemble.py:68-73)")
+    ap.add_argument("--cc-threshold", type=float, default=0.05)
     args = ap.parse_args()
 
     import glob
@@ -70,6 +75,18 @@ def main():
     trainer = NeRSembleTrainer(config, model_manager=manager,
                                data_location=args.data_root)
     checkpoint = trainer.start_step - 1
+
+    if not args.no_cc_filter and not config.model.disable_occupancy_grid:
+        # the reference's render/eval protocol carves the grid to its largest
+        # connected component before rendering (evaluate_nersemble.py:68-73);
+        # benching without it overstates marched-sample fill
+        from nersemble_tpu.utils.connected_components import (
+            filter_occupancy_grid_mask,
+        )
+        mask = filter_occupancy_grid_mask(
+            np.asarray(trainer.grid_occs), config.model.grid_resolution,
+            threshold=args.cc_threshold)
+        trainer.apply_grid_mask(mask)
 
     # orbit the synthetic object (at the calibration-space origin; rig
     # cameras sit at distance 1.0 with y DOWN) — the reference CLI's
@@ -128,6 +145,7 @@ def main():
             "chunk": args.chunk,
             "auto_budget": getattr(trainer, "_auto_render_budget", None),
             "mean_accumulation": round(acc_mean, 4),
+            "cc_filter": not args.no_cc_filter,
             "run": run,
         },
     }))

@@ -111,6 +111,28 @@ def test_train_checkpoint_resume_eval(env_setup):
     assert rendered["rgb"].shape == (44, 32, 3)
     assert np.isfinite(rendered["rgb"]).all()
 
+    # budget="auto": probe fill, right-size every later chunk; the result
+    # must match the un-budgeted render (the overflow safety net re-renders
+    # any chunk that dropped samples), and the cached budget must cover the
+    # probe's true valid fill exactly once (num_samples_per_ray is counted
+    # BEFORE budget compaction — adding num_budget_dropped on top would
+    # double-count and inflate the budget ~40% on under-carved grids)
+    rendered_auto = trainer.render_image(image_rays, step=11, chunk=64,
+                                         budget="auto")
+    np.testing.assert_allclose(rendered_auto["rgb"], rendered["rgb"],
+                               atol=1e-2)
+    probe = trainer._render_chunks[None](
+        trainer.params, trainer._fparams_cache[1], trainer.grid_occs,
+        trainer.grid_mask,
+        {k: (np.asarray(v)[:64] if hasattr(v, "shape") else v)
+         for k, v in trainer.eval_loader.image_rays(0).items()
+         if k in ("origins", "directions", "timesteps", "camera_indices")},
+        trainer.sched_values(11))
+    fill = float(probe["_n_valid"])
+    S = trainer.config.model.sampling.max_samples_per_ray
+    assert trainer._auto_render_budget >= min(fill, 64 * S) * 0.999
+    assert trainer._auto_render_budget <= max(8192, fill * 1.6)
+
     # eval-all logs per-camera and per-timestep PSNR attribution
     trainer._eval_all_images(11)
     eval_recs = [json.loads(line) for line in
