@@ -42,7 +42,12 @@ def extract_top_k_connected_component(density_grid: np.ndarray,
     for rank, label_id in enumerate(reversed(list(order))):
         mask = labels == label_id
         if rank == len(order) - 1:  # largest component: erosion-enlarge
-            mask = ndi.gaussian_filter(mask.astype(np.float64) * 100,
+            # integer blur on purpose (reference connected_components.py:88
+            # blurs `curr_cc * 100` as int): scipy rounds the int output, so
+            # the gaussian tail dies at ~2.6 sigma. A float blur with `> 0`
+            # would dilate to the full 4-sigma truncation radius instead —
+            # measurably fatter masks around floaters.
+            mask = ndi.gaussian_filter(mask.astype(np.int64) * 100,
                                        sigma=sigma_erosion) > 0
         components.append(mask)
     return components
@@ -61,4 +66,18 @@ def filter_occupancy_grid_mask(grid_occs: np.ndarray, resolution: int,
     largest = extract_top_k_connected_component(
         grid, threshold=threshold, sigma_thinning=sigma_thinning,
         sigma_erosion=sigma_erosion, k=1)[-1]
-    return largest > 0
+    mask = largest > 0
+    if not mask.any():
+        # Matches the reference pipeline (an empty thresholded grid yields an
+        # empty component and the AND blanks the binaries), but silent black
+        # frames are a terrible failure mode — say why. Seen in practice on
+        # under-trained checkpoints: EMA occ values ~0.07 rescale to 9/255,
+        # below the 0.05*255 threshold.
+        import sys
+        smax = float(_sigmoid(grid).max())
+        print(f"[nersemble-tpu] WARNING: occupancy CC filter kept 0 cells "
+              f"(max rescaled occupancy {(smax - 0.5) * 2:.4f} < threshold "
+              f"{threshold}); everything renders as background. The grid is "
+              f"likely under-trained, or lower --cc-threshold.",
+              file=sys.stderr)
+    return mask
