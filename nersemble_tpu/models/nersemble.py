@@ -43,7 +43,8 @@ from nersemble_tpu.ops.rendering import (
     render_rgb,
     render_weights,
 )
-from nersemble_tpu.ops.sampling import (compact_samples, march_rays,
+from nersemble_tpu.ops.sampling import (compact_samples,
+                                        compact_samples_monotone, march_rays,
                                         permute_rows, scatter_rows_back)
 
 _BACKGROUNDS = {"white": (1.0, 1.0, 1.0), "black": (0.0, 0.0, 0.0)}
@@ -398,6 +399,10 @@ class NeRSembleModel:
         # sigma=0 (no premature termination) and the group where T crosses
         # the threshold is always kept.
         n_samples_out = info["n_samples_per_ray"]
+        # march_rays compacts valid candidates to a per-ray slot PREFIX, so
+        # the mask is monotone until the sigma-probe termination (eval only)
+        # punches holes in it — that gates the sort-free compaction below
+        mask_monotone = True
         ps = scfg.eval_termination_probe_stride
         if (not train and scfg.eval_early_stop_trans > 0
                 and budget < R * S and ps > 1 and S >= 2 * ps):
@@ -409,7 +414,9 @@ class NeRSembleModel:
             deltas = (samples.t_ends - samples.t_starts) * samples.mask
             delta_c = deltas[:, :Sc * ps].reshape(R, Sc, ps).sum(-1)
             bc = min(-(-max(budget // ps, 128) // 128) * 128, R * Sc)
-            sel_c, _, _, kept_c = compact_samples(sub_mask, bc)
+            # sub_mask is a strided view of march_rays' prefix mask — still
+            # per-ray monotone, so the sort-free staircase compaction applies
+            sel_c, kept_c = compact_samples_monotone(sub_mask, bc)
             tmid_c = jnp.take(sub_t.T.reshape(-1), sel_c)
             picked_c = jnp.take(ray_pack, sel_c % R, axis=0)
             pos_p = picked_c[:, 0:3] + picked_c[:, 3:6] * tmid_c[:, None]
@@ -444,12 +451,19 @@ class NeRSembleModel:
                      jnp.broadcast_to(alive[:, -1:], (R, S - Sc * ps))], 1)
             samples = samples._replace(mask=samples.mask & fine_keep)
             n_samples_out = jnp.sum(samples.mask, -1)
+            mask_monotone = False
 
         n_budget_dropped = jnp.int32(0)
         if budget < R * S:
             # global compaction: evaluate only `budget` samples, picked from
             # the valid slots across the whole batch (see compact_samples)
-            sel, inv, order, kept = compact_samples(samples.mask, budget)
+            if mask_monotone:
+                # sort-free staircase compaction (saves the ~14 ms/step
+                # slot-major argsort over R*S keys — the training hot path)
+                sel, kept = compact_samples_monotone(samples.mask, budget)
+                inv = order = None
+            else:
+                sel, inv, order, kept = compact_samples(samples.mask, budget)
             n_budget_dropped = jnp.sum(samples.mask) - jnp.sum(kept)
             samples = samples._replace(mask=kept)
             ray_id = sel % R
@@ -467,7 +481,7 @@ class NeRSembleModel:
             out_pack = jnp.concatenate([
                 density_c[:, None], rgbs_c, offs_c,
                 jnp.zeros((budget, 1), density_c.dtype)], axis=1)  # pad to 8
-            if budget <= (R * S) // 4:
+            if budget <= (R * S) // 4 or inv is None:
                 # scatter `budget` rows instead of gathering all R*S rows:
                 # measured scatter ~11 M rows/s at W=8 vs route-back gather
                 # ~46 M rows/s over the FULL R*S — scatter wins while

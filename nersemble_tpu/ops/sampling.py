@@ -124,6 +124,74 @@ def compact_samples(mask: jnp.ndarray, budget: int):
     return sel, inv, order, kept.reshape(S, R).T
 
 
+def compact_samples_monotone(mask: jnp.ndarray, budget: int):
+    """``compact_samples`` fast path for PER-RAY-MONOTONE masks.
+
+    ``march_rays`` compacts each ray's valid candidates to a slot PREFIX
+    (``mask[r, s] == (s < n[r])``), so the slot-major stable argsort that
+    ``compact_samples`` runs over all R*S keys (~14 ms/step at the flagship
+    1M keys, PERF.md round 4) has a closed form: sort the R rays once by
+    fill count, and the valid positions of every slot are a prefix of that
+    ray order — a "staircase". Rank arithmetic then replaces the sort:
+
+        order   = argsort(-n)            (R keys — trivial)
+        c[s]    = #rays with n > s       (valid rays at slot s)
+        C       = exclusive cumsum of c  (rank of slot s's first valid pos)
+        rank(s, r) = C[s] + position of r in `order`
+
+    Returns (sel [budget] flat slot-major indices, kept [R, S]) — no
+    inverse permutation (callers on this path route results back with
+    ``scatter_rows_back``). Padding ranks past the total valid count map to
+    INVALID positions via the complementary staircase, so ``sel`` stays
+    duplicate-free (a ``scatter_rows_back`` requirement).
+
+    Semantics vs ``compact_samples``: the kept SET is identical whenever the
+    budget covers all valid samples (the adaptive-budget steady state, 1.3x
+    headroom). On overflow steps the partially-kept boundary slot keeps the
+    deepest-fill rays instead of the lowest ray indices — an equally
+    arbitrary far-tail drop (both remove lowest-transmittance samples
+    first).
+    """
+    R, S = mask.shape
+    n = jnp.sum(mask, axis=1, dtype=jnp.int32)  # [R] per-ray fill
+    order = jnp.argsort(-n, stable=True)        # rays by fill, descending
+    inv_order = jnp.argsort(order)              # rank of each ray (R keys)
+    n_sorted = jnp.take(n, order)
+    # c[s] = #rays with n > s; n_sorted is descending, so count via a
+    # comparison matrix (tiny: [S, R] bools — no searchsorted scalar gathers)
+    slots = jnp.arange(S, dtype=jnp.int32)
+    c = jnp.sum(n_sorted[None, :] > slots[:, None], axis=1,
+                dtype=jnp.int32)  # [S]
+    C = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(c)])  # [S+1]
+    total = C[S]
+
+    j = jnp.arange(budget, dtype=jnp.int32)
+
+    def staircase_positions(C_, rank):
+        # slot of each rank: how many slot prefixes end at or before it
+        # ([budget, S] comparison matrix + row sum — VPU-cheap)
+        s = jnp.sum(C_[None, 1:] <= rank[:, None], axis=1,
+                    dtype=jnp.int32)  # [budget], in [0, S)
+        s = jnp.minimum(s, S - 1)
+        base = jnp.max(jnp.where(C_[None, :-1] <= rank[:, None],
+                                 C_[None, :-1], 0), axis=1)  # C_[s]
+        return s, rank - base
+
+    sv, pv = staircase_positions(C, j)                       # valid ranks
+    # complementary staircase for padding ranks (invalid positions, slot s
+    # holds R - c[s] of them, at permuted ray ranks [c[s], R))
+    Ci = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                          jnp.cumsum(R - c)])                # [S+1]
+    si, qi = staircase_positions(Ci, j - total)
+    pi = jnp.take(c, si) + qi
+    s = jnp.where(j < total, sv, si)
+    p = jnp.clip(jnp.where(j < total, pv, pi), 0, R - 1)
+    sel = s * R + jnp.take(order, p)
+
+    kept = mask & (C[None, :S] + inv_order[:, None] < budget)
+    return sel, kept
+
+
 def quantized_budget(measured_samples: float, n_rays: int, n_slots: int,
                      headroom: float = 1.3,
                      current: Optional[int] = None) -> int:

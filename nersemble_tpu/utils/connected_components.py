@@ -44,9 +44,11 @@ def extract_top_k_connected_component(density_grid: np.ndarray,
         if rank == len(order) - 1:  # largest component: erosion-enlarge
             # integer blur on purpose (reference connected_components.py:88
             # blurs `curr_cc * 100` as int): scipy rounds the int output, so
-            # the gaussian tail dies at ~2.6 sigma. A float blur with `> 0`
-            # would dilate to the full 4-sigma truncation radius instead —
-            # measurably fatter masks around floaters.
+            # the gaussian tail dies early (1-D cutoff ~sqrt(2*ln 200) ~ 3.2
+            # sigma for amplitude 100; nearer in 3-D, geometry-dependent). A
+            # float blur with `> 0` would dilate to the full 4-sigma
+            # truncation radius instead — measurably fatter masks around
+            # floaters.
             mask = ndi.gaussian_filter(mask.astype(np.int64) * 100,
                                        sigma=sigma_erosion) > 0
         components.append(mask)
@@ -74,10 +76,16 @@ def filter_occupancy_grid_mask(grid_occs: np.ndarray, resolution: int,
         # under-trained checkpoints: EMA occ values ~0.07 rescale to 9/255,
         # below the 0.05*255 threshold.
         import sys
-        smax = float(_sigmoid(grid).max())
+        import scipy.ndimage as ndi
+        # report the POST-blur max (thresholding happens on the blurred uint8
+        # grid — the thinning blur can erase a small above-threshold peak, so
+        # the pre-blur max could read >= threshold here)
+        blurred = ndi.gaussian_filter(
+            ((_sigmoid(grid) - 0.5) * 2 * 255).astype(np.uint8),
+            sigma=sigma_thinning)
         print(f"[nersemble-tpu] WARNING: occupancy CC filter kept 0 cells "
-              f"(max rescaled occupancy {(smax - 0.5) * 2:.4f} < threshold "
-              f"{threshold}); everything renders as background. The grid is "
-              f"likely under-trained, or lower --cc-threshold.",
+              f"(max blurred occupancy {float(blurred.max()) / 255:.4f} < "
+              f"threshold {threshold}); everything renders as background. The "
+              f"grid is likely under-trained, or lower --cc-threshold.",
               file=sys.stderr)
     return mask

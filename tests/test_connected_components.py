@@ -25,7 +25,10 @@ def _logit(p):
 def make_grid(blobs):
     """blobs: list of (center, half_size, occ_value) cubes on a [G]^3 grid
     of raw (pre-sigmoid) densities ~0 elsewhere."""
-    grid = np.full((G, G, G), -4.0, np.float32)  # sigmoid ~ 0.018
+    # background raw density 0.0 rescales exactly to uint8 0 — negative
+    # values like -4.0 hit platform-dependent negative-float-to-uint8
+    # conversion (wraps on x86, saturates on ARM)
+    grid = np.zeros((G, G, G), np.float32)  # sigmoid = 0.5 -> rescaled 0
     for (cx, cy, cz), h, val in blobs:
         grid[cx - h:cx + h, cy - h:cy + h, cz - h:cz + h] = val
     return grid
@@ -78,6 +81,7 @@ def test_under_trained_grid_warns_and_returns_empty(capsys):
 
 
 def test_all_background_grid_no_components():
-    grid = np.full((G, G, G), -10.0, np.float32)
+    # 0.0 raw (not a negative value) — see make_grid's uint8-conversion note
+    grid = np.zeros((G, G, G), np.float32)
     comps = extract_top_k_connected_component(grid, threshold=0.05, k=2)
     assert len(comps) == 2 and not any(c.any() for c in comps)

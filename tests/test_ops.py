@@ -516,6 +516,60 @@ def test_march_rays_cone_angle_growing_steps():
     np.testing.assert_allclose(t1[:-1], t0[1:], rtol=1e-5)
 
 
+@pytest.mark.parametrize("budget_mode", ["under", "exact", "over"])
+def test_compact_samples_monotone_matches_sort(budget_mode):
+    """Staircase compaction == sort-based compaction on prefix masks.
+
+    Exact kept-set equality when the budget covers all valid samples (the
+    adaptive-budget steady state); on overflow, per-slot kept COUNTS match
+    (both drop the far tail slot-major — only the arbitrary choice within
+    the boundary slot differs)."""
+    from nersemble_tpu.ops.sampling import (compact_samples,
+                                            compact_samples_monotone)
+
+    R, S = 64, 16
+    rng = np.random.default_rng(3)
+    n = rng.integers(0, S + 1, R)  # incl. empty and full rays
+    mask = jnp.asarray(np.arange(S)[None, :] < n[:, None])
+    total = int(n.sum())
+    budget = {"under": max(total // 2, 1), "exact": total,
+              "over": min(total + 37, R * S)}[budget_mode]
+
+    sel_m, kept_m = jax.jit(compact_samples_monotone,
+                            static_argnums=1)(mask, budget)
+    sel_s, _, _, kept_s = compact_samples(mask, budget)
+    sel_m, kept_m = np.asarray(sel_m), np.asarray(kept_m)
+    kept_s = np.asarray(kept_s)
+
+    # sel is duplicate-free (scatter_rows_back requirement), incl. padding
+    assert len(np.unique(sel_m)) == budget
+    assert sel_m.min() >= 0 and sel_m.max() < R * S
+    # same number kept, and the same per-slot counts as the sort version
+    assert kept_m.sum() == kept_s.sum() == min(total, budget)
+    np.testing.assert_array_equal(kept_m.sum(0), kept_s.sum(0))
+    # the valid prefix of sel is exactly the kept set (as a set)
+    kept_flat = np.flatnonzero(kept_m.T.reshape(-1))  # slot-major positions
+    valid_sel = sel_m[:min(total, budget)]
+    assert set(valid_sel.tolist()) == set(kept_flat.tolist())
+    if budget >= total:
+        np.testing.assert_array_equal(kept_m, np.asarray(mask))
+        np.testing.assert_array_equal(kept_m, kept_s)
+
+
+def test_compact_samples_monotone_degenerate_masks():
+    from nersemble_tpu.ops.sampling import compact_samples_monotone
+
+    R, S = 8, 4
+    # all-empty mask: every sel entry is padding, still duplicate-free
+    sel, kept = compact_samples_monotone(jnp.zeros((R, S), bool), 16)
+    assert len(np.unique(np.asarray(sel))) == 16
+    assert not np.asarray(kept).any()
+    # all-full mask with budget == R*S: identity cover
+    sel, kept = compact_samples_monotone(jnp.ones((R, S), bool), R * S)
+    assert np.asarray(kept).all()
+    assert set(np.asarray(sel).tolist()) == set(range(R * S))
+
+
 def test_occupancy_lookup_multilevel_cascade():
     """[L,G,G,G] cascade: finest containing level wins; coarse levels extend
     coverage beyond the base box (level l = base box scaled by 2^l)."""
