@@ -653,12 +653,22 @@ class NeRSembleTrainer:
         image_rays = self.eval_loader.image_rays(image_idx)
         rendered = self.render_image(image_rays, step)
         gt = image_rays["gt_rgb"]
+        # full metric bundle incl. masked variants + LPIPS-when-weighted —
+        # parity with the reference's periodic get_image_metrics_and_images
+        # (nersemble_instant_ngp.py:424-500), which logs masked PSNR/SSIM/
+        # LPIPS/MSE at every eval cadence, not only in the eval CLI
+        regular, masked = M.image_metrics(rendered["rgb"], gt,
+                                          image_rays.get("gt_alpha"))
         scalars = {
-            "eval_image_psnr": float(M.psnr(jnp.asarray(rendered["rgb"]),
-                                            jnp.asarray(gt))),
-            "eval_image_ssim": float(M.ssim(jnp.asarray(rendered["rgb"]),
-                                            jnp.asarray(gt))),
+            "eval_image_psnr": regular["psnr"],
+            "eval_image_ssim": regular["ssim"],
+            "eval_image_mse": regular["mse"],
         }
+        if regular["lpips"] is not None:
+            scalars["eval_image_lpips"] = regular["lpips"]
+        for key in ("psnr", "ssim", "mse", "lpips"):
+            if masked.get(key) is not None:
+                scalars[f"eval_image_{key}_masked"] = masked[key]
         self.writer.put_scalars(step, scalars)
         cam = image_rays["entry"].cam_id
         self.writer.put_image(step, f"cam_{cam}_rgb", rendered["rgb"])
@@ -683,7 +693,9 @@ class NeRSembleTrainer:
     def _train_image(self, step: int) -> None:
         """Render one training view for logging
         (reference: nersemble_trainer.py:144-162)."""
-        loader = EvalImageLoader(self.train_dataset)
+        if not hasattr(self, "_train_image_loader"):
+            self._train_image_loader = EvalImageLoader(self.train_dataset)
+        loader = self._train_image_loader
         image_idx = step % max(len(loader), 1)
         image_rays = loader.image_rays(image_idx)
         rendered = self.render_image(image_rays, step)
@@ -701,15 +713,20 @@ class NeRSembleTrainer:
         per-timestep PSNR means — a hold-out regression must be attributable
         (one ghosted camera? late-timestep drift?) without rerunning."""
         psnrs, ssims = [], []
+        masked_acc = {"psnr": [], "ssim": [], "mse": [], "lpips": []}
         by_cam, by_t = {}, {}
         for image_idx in range(len(self.eval_loader)):
             image_rays = self.eval_loader.image_rays(image_idx)
             rendered = self.render_image(image_rays, step)
-            gt = jnp.asarray(image_rays["gt_rgb"])
-            rgb = jnp.asarray(rendered["rgb"])
-            p = float(M.psnr(rgb, gt))
+            regular, masked = M.image_metrics(rendered["rgb"],
+                                              image_rays["gt_rgb"],
+                                              image_rays.get("gt_alpha"))
+            p = regular["psnr"]
             psnrs.append(p)
-            ssims.append(float(M.ssim(rgb, gt)))
+            ssims.append(regular["ssim"])
+            for key, vals in masked_acc.items():
+                if masked.get(key) is not None:
+                    vals.append(masked[key])
             entry = image_rays["entry"]
             by_cam.setdefault(entry.cam_id, []).append(p)
             by_t.setdefault(entry.timestep_index, []).append(p)
@@ -717,6 +734,9 @@ class NeRSembleTrainer:
             "eval_all_psnr": float(np.mean(psnrs)),
             "eval_all_ssim": float(np.mean(ssims)),
         }
+        for key, vals in masked_acc.items():
+            if vals:
+                scalars[f"eval_all_{key}_masked"] = float(np.mean(vals))
         for cam, vals in sorted(by_cam.items()):
             scalars[f"eval_cam{cam}_psnr"] = float(np.mean(vals))
         if len(by_t) > 1:

@@ -53,29 +53,12 @@ def select_eval_indices(entries, skip_timesteps: Optional[int]):
 
 
 def _image_metrics(pred: np.ndarray, gt: np.ndarray, alpha: Optional[np.ndarray]):
-    import jax.numpy as jnp
-
     from nersemble_tpu.utils import metrics as M
-    from nersemble_tpu.utils.lpips import lpips_or_none
 
-    out = {
-        "psnr": float(M.psnr(jnp.asarray(pred), jnp.asarray(gt))),
-        "ssim": float(M.ssim(jnp.asarray(pred), jnp.asarray(gt))),
-        "mse": float(M.mse(jnp.asarray(pred), jnp.asarray(gt))),
-        "lpips": lpips_or_none(pred, gt),
-        "jod": None,  # video-level metric: filled per camera after the loop
-    }
-    masked = {k: None for k in out}
-    if alpha is not None:
-        pred_m = M.apply_alpha_mask(pred, alpha)
-        gt_m = M.apply_alpha_mask(gt, alpha)
-        masked = {
-            "psnr": float(M.psnr(jnp.asarray(pred_m), jnp.asarray(gt_m))),
-            "ssim": float(M.ssim(jnp.asarray(pred_m), jnp.asarray(gt_m))),
-            "mse": float(M.mse(jnp.asarray(pred_m), jnp.asarray(gt_m))),
-            "lpips": lpips_or_none(pred_m, gt_m),
-            "jod": None,
-        }
+    out, masked = M.image_metrics(pred, gt, alpha)
+    # video-level metric: filled per camera after the loop
+    out["jod"] = None
+    masked["jod"] = None
     return out, masked
 
 

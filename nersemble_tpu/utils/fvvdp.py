@@ -21,11 +21,16 @@ files (fvvdp_parameters.json: psychophysically calibrated CSF fits, masking
 exponents and the JOD regression) are not available offline. This module
 uses the PUBLISHED Barten-approximation CSF (Watson & Ahumada's formulation
 of spatio-luminance sensitivity) plus the paper's pipeline constants where
-published, and a JOD regression calibrated only coarsely on synthetic
-distortions (identical -> 10.0; strong noise/blur -> ~4-6). Scores are
-therefore comparable BETWEEN models evaluated by this framework but are not
-guaranteed to match pyfvvdp's absolute numbers. When pyfvvdp IS importable
-it is always preferred (utils/jod.py resolution order).
+published. The JOD regression is fitted by scripts/calibrate_jod.py against
+the reference's one published (distortion -> JOD) anchor — official metrics
+PSNR 31.48 <-> JOD 7.85 (reference README.md:159-166) — with targets linear
+in PSNR through it at the paper's baseline-table slope (~0.2 JOD/dB), on a
+blur+noise series (identical -> 10.0; PSNR-31.5-class renders -> ~7.9-8.1;
+pinned by tests/test_fvvdp.py::test_jod_calibration_anchor). Scores are
+comparable BETWEEN models evaluated by this framework and now land on the
+reference's scale for render-like distortions, but exact agreement with
+pyfvvdp's absolute numbers is not guaranteed. When pyfvvdp IS importable it
+is always preferred (utils/jod.py resolution order).
 
 The implementation is numpy + scipy (host, eval-only), deliberately
 dependency-light.
@@ -154,8 +159,14 @@ class FvvdpParameters:
     beta_band: float = 3.0    # over pyramid bands
     beta_tch: float = 2.0     # over temporal channels
     beta_frame: float = 2.0   # over frames
-    jod_a: float = 2.0        # JOD regression scale
-    jod_exp: float = 0.35     # JOD regression exponent
+    # JOD regression fitted by scripts/calibrate_jod.py against the one HARD
+    # published anchor — the reference's official PSNR 31.48 <-> JOD 7.85
+    # pair (/root/reference/README.md:159-166) — plus targets linear in PSNR
+    # through it at ~0.2 JOD/dB (the NeRSemble paper's baseline-table slope)
+    # on a blur+noise series over a textured synthetic head stack. Puts a
+    # PSNR-31.5-class render at JOD ~7.9-8.1 (was 2.75 pre-calibration).
+    jod_a: float = 23.08      # JOD regression scale
+    jod_exp: float = 0.417    # JOD regression exponent
     n_pyramid_levels: int = 6
     sensitivity_correction: float = 0.005  # global CSF scale (calibration)
 

@@ -72,6 +72,34 @@ def apply_alpha_mask(image: np.ndarray, alpha: np.ndarray,
     return a * image + (1 - a) * background
 
 
+def image_metrics(pred: np.ndarray, gt: np.ndarray, alpha=None):
+    """(regular, masked) dicts of psnr/ssim/mse/lpips for one [H, W, 3] pair.
+
+    The per-image metric bundle of the reference's
+    ``get_image_metrics_and_images`` (nersemble_instant_ngp.py:424-500):
+    the masked variants blend both images against the background with the
+    GT alpha map first. ``lpips`` is None without a weights file
+    (utils/lpips.py). ``masked`` values are None when ``alpha`` is None.
+    Shared by the evaluate CLI and the trainer's periodic eval logging.
+    """
+    from nersemble_tpu.utils.lpips import lpips_or_none
+
+    def bundle(p, g):
+        return {
+            "psnr": float(psnr(jnp.asarray(p), jnp.asarray(g))),
+            "ssim": float(ssim(jnp.asarray(p), jnp.asarray(g))),
+            "mse": float(mse(jnp.asarray(p), jnp.asarray(g))),
+            "lpips": lpips_or_none(p, g),
+        }
+
+    regular = bundle(pred, gt)
+    masked = {k: None for k in regular}
+    if alpha is not None:
+        masked = bundle(apply_alpha_mask(pred, alpha),
+                        apply_alpha_mask(gt, alpha))
+    return regular, masked
+
+
 def perform_alpha_blending(image: np.ndarray, alpha_map: np.ndarray
                            ) -> np.ndarray:
     """uint8-quantized white-background blend — the masked-JOD frame

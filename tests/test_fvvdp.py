@@ -49,14 +49,34 @@ def test_identical_is_ten_and_noise_monotone():
 
     rng = np.random.default_rng(0)
     scores = []
-    for sigma in (0.01, 0.05, 0.15):
+    for sigma in (0.002, 0.01, 0.05):
         noisy = np.clip(ref + rng.normal(0, sigma, ref.shape), 0, 1)
         jod, _ = m.predict((noisy * 255).astype(np.uint8), ref8,
                            dim_order="FHWC", frames_per_second=24.0)
         scores.append(float(jod))
+    # monotone in distortion; absolute anchoring is pinned separately by
+    # test_jod_calibration_anchor (noise on this video's BLACK background is
+    # harshly penalized — tiny adaptation luminance inflates contrast —
+    # so thresholds here are loose on purpose)
     assert scores == sorted(scores, reverse=True)
-    assert scores[0] > 9.0  # barely visible noise stays near-perfect
-    assert scores[-1] < 9.0  # strong noise clearly penalized
+    assert scores[0] > 8.5  # quantization-level noise stays near-perfect
+    assert scores[-1] < 6.0  # strong noise clearly penalized
+
+
+def test_jod_calibration_anchor():
+    """The fitted regression (scripts/calibrate_jod.py) puts a blur+noise
+    distortion at PSNR ~31.5 near the reference's published anchor — the
+    official PSNR 31.48 <-> JOD 7.85 pair (reference README.md:159-166).
+    Pre-calibration the same distortion class scored ~2.75 (VERDICT r3 #4)."""
+    from scripts.calibrate_jod import blur_stack, make_frames, psnr
+
+    ref = make_frames(256, 352, 4)  # calibration resolution (6-level regime)
+    test = blur_stack(ref, 6.5, 0.025)  # ~PSNR 31.8 at this scale
+    p = psnr(test, ref)
+    assert 30.0 < p < 34.0
+    m = VendoredFovVideoVDP()
+    jod, _ = m.predict(test, ref, dim_order="FHWC", frames_per_second=24.0)
+    assert 7.3 < float(jod) < 8.6, float(jod)
 
 
 def test_single_frame_image_mode():

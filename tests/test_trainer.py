@@ -140,6 +140,13 @@ def test_train_checkpoint_resume_eval(env_setup):
                  if "eval_all_psnr" in line]
     assert any(k.startswith("eval_cam") for k in eval_recs[-1])
     assert any(k.startswith("eval_t") for k in eval_recs[-1])  # 3 timesteps
+    # masked metrics logged at eval cadence (reference
+    # get_image_metrics_and_images parity — the synthetic dataset has alpha
+    # maps, so the masked variants must be present; lpips stays absent
+    # without a weights file)
+    assert "eval_all_psnr_masked" in eval_recs[-1]
+    assert "eval_all_ssim_masked" in eval_recs[-1]
+    assert "eval_all_mse_masked" in eval_recs[-1]
 
     # simulate an adapted compaction budget and re-save: resume must restore
     # it (VERDICT r2 weak #5 — restarting from the config formula silently
