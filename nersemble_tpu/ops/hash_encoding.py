@@ -68,6 +68,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from nersemble_tpu.ops import quad_pallas
+
 _PRIMES = (np.uint32(2654435761), np.uint32(805459861), np.uint32(3674653429))
 # quarter order within a quad row: q = 2 * xbit + zbit
 # (q0 = (x,z), q1 = (x,z+1), q2 = (x+1,z), q3 = (x+1,z+1))
@@ -97,8 +99,21 @@ class HashGridLevels:
         rows, so the per-level rolls/slices of build_quad_table (and their
         gradient fold) stay tile-aligned for both f32 (8-row) and bf16
         (16-row) sublane tiles with headroom. Misaligned rolls measured
-        211 ms vs ~10 ms on v5e round 1."""
+        211 ms vs ~10 ms on v5e round 1.
+
+        DENSE level sizes are additionally padded up to multiples of
+        ``quad_pallas.BLOCK`` (2048) rows so the Pallas quad build/fold
+        kernels can block the entry axis uniformly. The padding rows are
+        dead parameters (base-corner indices are always < the unpadded
+        dense size); roll successors at the far x/z boundary land in the
+        padding instead of aliasing a real entry — strictly cleaner than
+        the previous wrap (see the boundary-semantics note above). Hashed
+        levels stay exactly 2^log2_hashmap_size (the additive hash's
+        modulus IS the roll modulus, so it cannot be padded); tables whose
+        hashed levels are smaller than one block simply fall back to the
+        XLA build path."""
         align = 32
+        block = quad_pallas.BLOCK
         max_size = 2 ** log2_hashmap_size
         mask = max_size - 1
         scales, resolutions, sizes, hashed, offsets = [], [], [], [], []
@@ -113,7 +128,8 @@ class HashGridLevels:
             sz = sx * res
             dense_size = sz * res
             if dense_size <= max_size:
-                size, is_hashed = dense_size, False
+                size = -(-dense_size // block) * block
+                is_hashed = False
             else:
                 size, is_hashed = max_size, True
                 # tile-aligned additive strides: the low bits of the bucket
@@ -196,6 +212,16 @@ def quad_from_cast(table: jnp.ndarray, levels: HashGridLevels) -> jnp.ndarray:
 
 
 def _quad_fwd_impl(table, levels):
+    if quad_pallas.available(levels, table.shape[1]):
+        # Pallas kernel: composes full-width [BLOCK, 4W] output tiles in
+        # VMEM (contiguous writes). The XLA concat below writes each 64-col
+        # quarter band as a 128 B strided stream — 74.4 ms vs the kernel's
+        # 64.1 ms for the flagship table (scripts/bench_quad_build.py, r4).
+        return quad_pallas.build(table, levels)
+    return _quad_fwd_xla(table, levels)
+
+
+def _quad_fwd_xla(table, levels):
     xz = tuple(sx + sz for sx, sz in zip(levels.x_strides, levels.z_strides))
     return jnp.concatenate(
         [table,
@@ -216,6 +242,14 @@ def _quad_vjp_bwd(levels, _res, g):
     level segment first keeps each roll+add a small fusable unit; arithmetic
     is f32 regardless of the (usually bf16) gradient dtype.
     """
+    # The Pallas fold kernel LOSES to this XLA fold (74.7 vs 61.6 ms on the
+    # flagship table, scripts/bench_quad_build.py r4): the 64-column quarter
+    # bands are narrower than the 128-lane tile, forcing the kernel to fetch
+    # full-width blocks (2x HBM read amplification). Keep the XLA path.
+    return (_quad_bwd_xla(g, levels),)
+
+
+def _quad_bwd_xla(g, levels):
     W = g.shape[1] // _N_QUARTERS
     segs = []
     for l in range(levels.n_levels):
@@ -230,7 +264,7 @@ def _quad_vjp_bwd(levels, _res, g):
             + jnp.roll(seg[:, 3 * W:4 * W], (sx + sz) % size,
                        axis=0).astype(jnp.float32)
         segs.append(acc.astype(g.dtype))
-    return (jnp.concatenate(segs, axis=0),)
+    return jnp.concatenate(segs, axis=0)
 
 
 quad_from_cast.defvjp(_quad_vjp_fwd, _quad_vjp_bwd)

@@ -30,6 +30,13 @@ def main():
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--downscale", type=int, default=1,
                     help="extra downscale on top of the dataset's")
+    ap.add_argument("--resolution", type=int, nargs=2, default=None,
+                    metavar=("H", "W"),
+                    help="render at an explicit resolution instead of the "
+                         "dataset's (e.g. 802 550 = the reference render "
+                         "CLI's 3208x2200 at downscale 4, ~441k rays/frame "
+                         "— render_nersemble.py:20-99); intrinsics are "
+                         "rescaled from the original image size")
     ap.add_argument("--chunk", type=int, default=2 ** 14)
     ap.add_argument("--trace", type=str, default=None,
                     help="write a jax.profiler trace of 2 frames to this dir")
@@ -98,10 +105,17 @@ def main():
     scale = config.data.scale_factor
     out = trainer.train_outputs
     intr = trainer.dataparser.data_manager.load_camera_params().intrinsics
-    ds = args.downscale
-    intr = intr.rescale(1.0 / (config.data.downscale_factor * ds))
-    width = out.image_width // ds
-    height = out.image_height // ds
+    if args.resolution is not None:
+        # explicit target resolution: rescale intrinsics from the ORIGINAL
+        # image size so the field of view is preserved at any ray count
+        height, width = args.resolution
+        original_w = out.image_width * config.data.downscale_factor
+        intr = intr.rescale(width / original_w)
+    else:
+        ds = args.downscale
+        intr = intr.rescale(1.0 / (config.data.downscale_factor * ds))
+        width = out.image_width // ds
+        height = out.image_height // ds
 
     def render(i):
         p = poses_cv[i % args.frames].copy() @ np.diag([1.0, -1.0, -1.0, 1.0])

@@ -14,6 +14,7 @@ from nersemble_tpu.ops.hash_encoding import (
     hash_grid_indices,
     init_hash_table,
 )
+from nersemble_tpu.ops import quad_pallas
 from nersemble_tpu.ops.hash_ensemble import effective_blend_code
 from nersemble_tpu.ops.losses import (
     alpha_loss,
@@ -161,13 +162,18 @@ def test_hash_levels_structure(small_levels):
     lv = small_levels
     assert lv.n_levels == 6
     assert lv.resolutions[0] == 5
-    # dense level 0: idx = y + SX*x + SZ*z with SX = ceil32(5) = 32, SZ = 160
+    # dense level 0: idx = y + SX*x + SZ*z with SX = ceil32(5) = 32, SZ = 160;
+    # the 800 live rows are padded to one quad_pallas.BLOCK (dead parameters
+    # beyond row 800 — boundary roll successors land there instead of
+    # aliasing live entries)
     assert not lv.hashed[0] and lv.x_strides[0] == 32 and lv.z_strides[0] == 160
-    assert lv.sizes[0] == 160 * 5
+    assert lv.sizes[0] == quad_pallas.BLOCK and lv.sizes[0] >= 160 * 5
     assert any(lv.hashed)
     for l in range(6):
         assert lv.sizes[l] % 32 == 0
         assert lv.offsets[l] % 32 == 0
+        if not lv.hashed[l]:
+            assert lv.sizes[l] % quad_pallas.BLOCK == 0
         assert lv.x_strides[l] % 32 == 0 and lv.x_strides[l] > 0
         assert lv.z_strides[l] % 32 == 0 and lv.z_strides[l] > 0
         if lv.hashed[l]:
@@ -772,3 +778,50 @@ def test_hot_entry_scatter_accumulates_f32(small_levels):
     hmass16 = np.abs(g16s[E_dense:]).sum()
     hmass32 = np.abs(g32s[E_dense:]).sum()
     assert abs(hmass16 / hmass32 - 1.0) < 0.03, (hmass16, hmass32)
+
+
+def test_quad_pallas_build_and_fold_match_xla():
+    """Pallas quad build/fold (interpreter) == the XLA roll/concat path.
+
+    The fixture has both a padded dense level and hashed levels (hashed size
+    2^12 = exactly one BLOCK), so the block metadata covers wrap-around
+    windows and multi-block levels. Copies are exact in any dtype.
+    """
+    from nersemble_tpu.ops.hash_encoding import _quad_bwd_xla, _quad_fwd_xla
+
+    lv = HashGridLevels.create(n_levels=6, log2_hashmap_size=12,
+                               base_resolution=4, per_level_scale=1.5)
+    assert any(lv.hashed) and not all(lv.hashed)
+    assert all(s % quad_pallas.BLOCK == 0 for s in lv.sizes)
+    rng = np.random.default_rng(0)
+    w = 8
+    table = jnp.asarray(
+        rng.standard_normal((lv.total_entries, w)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    g = jnp.asarray(
+        rng.standard_normal((lv.total_entries, 4 * w)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    old = quad_pallas.INTERPRET
+    quad_pallas.INTERPRET = True
+    try:
+        assert quad_pallas.available(lv, w)
+        built = np.asarray(quad_pallas.build(table, lv))
+        folded = np.asarray(quad_pallas.fold(g, lv))
+    finally:
+        quad_pallas.INTERPRET = old
+
+    np.testing.assert_array_equal(built, np.asarray(_quad_fwd_xla(table, lv)))
+    np.testing.assert_array_equal(folded, np.asarray(_quad_bwd_xla(g, lv)))
+
+
+def test_quad_pallas_unaligned_levels_fall_back():
+    # log2_hashmap_size 9 => hashed size 512 < BLOCK: kernels must not apply
+    lv = HashGridLevels.create(n_levels=4, log2_hashmap_size=9,
+                               base_resolution=16)
+    old = quad_pallas.INTERPRET
+    quad_pallas.INTERPRET = True
+    try:
+        assert not quad_pallas.available(lv, 8)
+    finally:
+        quad_pallas.INTERPRET = old
