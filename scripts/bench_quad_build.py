@@ -40,6 +40,103 @@ def timed(fn, *args, iters=10):
     return times[len(times) // 2] * 1000.0
 
 
+def run_diagnostics(block=None):
+    """Build-kernel cost ladder on the flagship table shape.
+
+    Each rung adds one suspected cost source over the previous; the deltas
+    attribute the gap between the full Pallas build (64.1 ms round 4) and
+    the ~12 ms HBM roofline (read 7x0.84 GB windows + write 3.34 GB at
+    ~800 GB/s):
+
+      copy    — 1 fetch [B, W] -> write [B, W]: the DMA floor per block
+      bcast   — 1 fetch        -> write [B, 4W]: + full output bytes
+      fetch7  — 7 fetches      -> write [B, 4W]: + the build's DMA count
+      build   — the real kernel: + wrap branches and two-piece concats
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nersemble_tpu.ops import quad_pallas
+    from nersemble_tpu.ops.hash_encoding import HashGridLevels
+
+    B = block or quad_pallas.BLOCK
+    levels = HashGridLevels.create()
+    E, W = levels.total_entries, 64
+    E = (E // B) * B  # diagnostics ignore level structure
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.standard_normal((E, W)).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+    n_blocks = E // B
+    print(f"diagnostics: [E={E}, W={W}] bf16, BLOCK={B}, {n_blocks} blocks")
+
+    def copy_kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...]
+
+    copy = pl.pallas_call(
+        copy_kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec((B, W), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((B, W), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, W), table.dtype),
+        interpret=quad_pallas.INTERPRET,
+    )
+    print(f"copy   [B,W]->[B,W]:    {timed(jax.jit(lambda t: copy(t)), table):8.1f} ms "
+          f"(moves {2 * E * W * 2 / 1e9:.1f} GB)")
+
+    def bcast_kernel(x_ref, o_ref):
+        x = x_ref[...]
+        for q in range(4):
+            o_ref[:, q * W:(q + 1) * W] = x
+
+    bcast = pl.pallas_call(
+        bcast_kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec((B, W), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((B, 4 * W), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, 4 * W), table.dtype),
+        interpret=quad_pallas.INTERPRET,
+    )
+    print(f"bcast  [B,W]->[B,4W]:   {timed(jax.jit(lambda t: bcast(t)), table):8.1f} ms "
+          f"(moves {(E * W + E * 4 * W) * 2 / 1e9:.1f} GB)")
+
+    def fetch7_kernel(*refs):
+        o_ref = refs[-1]
+        o_ref[:, 0:W] = refs[0][...]
+        for q in range(1, 4):
+            # same two-refs-per-quarter structure as the build, no concat
+            o_ref[:, q * W:(q + 1) * W] = refs[2 * q - 1][...]
+
+    fetch7 = pl.pallas_call(
+        fetch7_kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec((B, W), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM)] * 7,
+        out_specs=pl.BlockSpec((B, 4 * W), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, 4 * W), table.dtype),
+        interpret=quad_pallas.INTERPRET,
+    )
+    print(f"fetch7 7x[B,W]->[B,4W]: "
+          f"{timed(jax.jit(lambda t: fetch7(*([t] * 7))), table):8.1f} ms "
+          f"(moves {(7 * E * W + E * 4 * W) * 2 / 1e9:.1f} GB)")
+
+    if quad_pallas.available(levels, W) and B == quad_pallas.BLOCK:
+        full_levels = HashGridLevels.create()
+        tbl = jnp.asarray(rng.standard_normal(
+            (full_levels.total_entries, W)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        pb = jax.jit(lambda t: quad_pallas.build(t, full_levels))
+        print(f"build  (real kernel):   {timed(pb, tbl):8.1f} ms")
+
+
 def main():
     import argparse
 
@@ -52,7 +149,18 @@ def main():
                     help="skip the b/c alternative XLA formulations (already "
                          "measured: slice-pair 70.6 ms, doubled-table 100 ms "
                          "on v5e round 4)")
+    ap.add_argument("--diag", action="store_true",
+                    help="run the build-kernel DIAGNOSTIC ladder instead: "
+                         "identity copy (DMA floor) -> broadcast-quarters "
+                         "(output-write cost) -> 7-fetch compose (DMA-issue "
+                         "cost) vs the full build (adds wrap branches). "
+                         "Isolates what bounds the 64 ms build.")
+    ap.add_argument("--block", type=int, default=None,
+                    help="diagnostic block size (default quad_pallas.BLOCK)")
     args = ap.parse_args()
+
+    if args.diag:
+        return run_diagnostics(args.block)
 
     import jax
     import jax.numpy as jnp
