@@ -52,9 +52,15 @@ def ssim(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0,
     mu_yy = filt(target * target)
     mu_xy = filt(pred * target)
 
-    var_x = mu_xx - mu_x ** 2
-    var_y = mu_yy - mu_y ** 2
-    cov = mu_xy - mu_x * mu_y
+    # In exact arithmetic 0 <= var and |cov| <= sqrt(var_x*var_y), which
+    # (with the c-constants) bounds SSIM by 1. In f32 the mu_xx - mu_x**2
+    # cancellation can break both (observed: a mid-training eval render
+    # logged eval_all_ssim 1.0014; a flat image at amplitude ~37 measures
+    # 1.058) — project the moments back to the feasible set.
+    var_x = jnp.maximum(mu_xx - mu_x ** 2, 0.0)
+    var_y = jnp.maximum(mu_yy - mu_y ** 2, 0.0)
+    cov_bound = jnp.sqrt(var_x * var_y)
+    cov = jnp.clip(mu_xy - mu_x * mu_y, -cov_bound, cov_bound)
 
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2

@@ -73,6 +73,21 @@ def test_ssim_identical_images_is_one():
     assert float(ssim(img, img)) == pytest.approx(1.0, abs=1e-5)
 
 
+def test_ssim_never_exceeds_one_under_cancellation():
+    """SSIM <= 1 even where the f32 mu_xx - mu_x**2 cancellation breaks the
+    moment inequalities (a quality-run eval once logged ssim 1.0014; an
+    unprojected formulation measures 1.058 on this fixture)."""
+    import jax.numpy as jnp
+    from nersemble_tpu.utils.metrics import ssim
+
+    rng = np.random.default_rng(4)
+    flat = np.full((64, 64, 3), 37.0, np.float32)
+    noisy = flat + rng.normal(0, 1e-3, flat.shape).astype(np.float32)
+    val = float(ssim(jnp.asarray(flat), jnp.asarray(noisy)))
+    assert val <= 1.0 + 1e-6, val
+    assert val >= 0.5  # still reads as 'nearly identical', not clamped junk
+
+
 # ---------------------------------------------------------------------------
 # LPIPS
 # ---------------------------------------------------------------------------
