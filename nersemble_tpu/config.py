@@ -414,7 +414,8 @@ class TrainConfig(ConfigBase):
     steps_per_log: int = 10
     save_only_latest_checkpoint: bool = True
     seed: int = 19980801
-    vis: str = "csv"  # csv | tensorboard | none
+    vis: str = "csv"  # csv | tensorboard | none | viewer (live web viewer)
+    viewer_port: int = 7007
 
     data: DataConfig = field(default_factory=DataConfig)
     model: ModelConfig = field(default_factory=ModelConfig)

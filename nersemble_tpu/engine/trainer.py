@@ -131,10 +131,24 @@ class NeRSembleTrainer:
         self.batcher = RayBatcher(self.train_dataset, config.data,
                                   num_rays=n_rays, seed=config.seed)
 
+        # "viewer" starts the live web viewer alongside csv metrics
+        # (reference: nerfstudio --vis viewer, train_nersemble.py:56)
+        writer_mode = "csv" if config.vis == "viewer" else config.vis
         self.writer = writer or MetricsWriter(self.run_dir,
                                               enabled=config.vis != "none",
-                                              mode=config.vis)
+                                              mode=writer_mode)
         self._eval_batch_iter = None
+        self.viewer = None
+        if config.vis == "viewer":
+            from nersemble_tpu.viewer import ViewerServer
+            center, distance = self.viewer_defaults()
+            self.viewer = ViewerServer(state={
+                "run_name": config.run_name,
+                "n_timesteps": config.data.n_timesteps,
+                "step": self.start_step,
+                "distance": distance,
+            }, port=config.viewer_port)
+            print(f"[nersemble-tpu] viewer: {self.viewer.url}")
 
         # startup model summary (reference: torchinfo.summary,
         # train_nersemble.py:277)
@@ -145,6 +159,18 @@ class NeRSembleTrainer:
         self.writer.put_scalars(self.start_step,
                                 {f"params/{k}": v for k, v in counts.items()})
         self._build_steps()
+
+    def viewer_defaults(self):
+        """(orbit center, default distance) in UNSCALED (calibration) units
+        — the same units the render CLI's circle trajectory uses before the
+        x scale_factor. Derived from the scene box so the orbit frames
+        whatever scene is loaded (the real capture's head box or the
+        synthetic sphere) instead of hardcoding the head position."""
+        box = np.asarray(self.config.model.scene_box, np.float64) \
+            / self.config.data.scale_factor
+        center = box.mean(axis=0)
+        half_diag = float(np.linalg.norm(box[1] - box[0])) / 2.0
+        return center, max(0.75 * half_diag, 1e-3)
 
     def _build_param_shardings(self):
         """Pytree of NamedShardings for the params: everything replicated
@@ -483,6 +509,7 @@ class NeRSembleTrainer:
                     self.grid_mask, batch, sched, lrs, step_idx)
             rays_since_log += n_rays
             self._maybe_adapt_budget(step, aux)
+            self._service_viewer(step)
 
             if step % cfg.steps_per_log == 0 or step == max_steps - 1:
                 total = float(total)
@@ -706,6 +733,58 @@ class NeRSembleTrainer:
         self.writer.put_scalars(step, {
             "train_image_psnr": float(M.psnr(jnp.asarray(rendered["rgb"]),
                                              jnp.asarray(image_rays["gt_rgb"])))})
+
+    def viewer_render(self, params: Dict, step: int) -> np.ndarray:
+        """Render one live-viewer frame (orbit camera params from the web
+        UI) through the normal render path. Runs on the trainer thread —
+        see viewer/server.py for the threading model."""
+        from nersemble_tpu.data.cameras import generate_image_rays
+        from nersemble_tpu.utils import colormaps as C
+        from nersemble_tpu.viewer import orbit_pose
+
+        if not hasattr(self, "_viewer_intr"):
+            self._viewer_intr = self.dataparser.data_manager \
+                .load_camera_params().intrinsics
+        cfg = self.config
+        scale = cfg.data.scale_factor
+        out = self.train_outputs
+        orig_w = out.image_width * cfg.data.downscale_factor
+        orig_h = out.image_height * cfg.data.downscale_factor
+        width = int(params["width"])
+        height = max(16, round(width * orig_h / orig_w))
+        intr = self._viewer_intr.rescale(width / orig_w)
+        # same OpenCV -> OpenGL/world-scale pose chain as the render CLI,
+        # orbiting the scene-box center (viewer_defaults)
+        center, _ = self.viewer_defaults()
+        pose = orbit_pose(params["az"], params["el"], params["dist"],
+                          center=center)
+        p = pose @ np.diag([1.0, -1.0, -1.0, 1.0])
+        p[:3, 3] *= scale
+        origins, dirs = generate_image_rays(p, intr, height, width)
+        n_t = cfg.data.n_timesteps
+        t_idx = int(round(float(params["t"]) * max(n_t - 1, 0)))
+        image_rays = {
+            "origins": origins, "directions": dirs,
+            "timesteps": np.full(origins.shape[0], t_idx, np.int32),
+            "camera_indices": np.zeros(origins.shape[0], np.int32),
+            "height": height, "width": width,
+        }
+        rendered = self.render_image(image_rays, step=step, budget="auto")
+        channel = params.get("channel", "rgb")
+        if channel == "depth":
+            return C.apply_depth_colormap(
+                rendered["depth"], accumulation=rendered["accumulation"],
+                near=0.8 * scale, far=1.2 * scale)
+        if channel == "deformation" and "deformation" in rendered:
+            return C.apply_scene_flow_colormap(rendered["deformation"])
+        return rendered["rgb"]
+
+    def _service_viewer(self, step: int) -> None:
+        if self.viewer is None:
+            return
+        self.viewer.update_state(step=step)
+        while self.viewer.service(lambda p: self.viewer_render(p, step)):
+            pass
 
     def _eval_all_images(self, step: int) -> None:
         """Average metrics over every eval view

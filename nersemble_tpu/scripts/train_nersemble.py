@@ -28,8 +28,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("participant_id", type=int)
     p.add_argument("sequence_name", type=str)
     p.add_argument("--name", type=str, default=None)
+    # "viewer" = the live web viewer (reference: nerfstudio's --vis viewer,
+    # train_nersemble.py:56), served between training steps; metrics still
+    # go to csv alongside it
     p.add_argument("--vis", type=str, default="csv",
-                   choices=["csv", "tensorboard", "none"])
+                   choices=["csv", "tensorboard", "none", "viewer"])
+    p.add_argument("--viewer-port", type=int, default=7007)
 
     # sequence
     p.add_argument("--start-timestep", type=int, default=0)
@@ -219,6 +223,7 @@ def build_config(args, run_name: str, output_dir: str) -> TrainConfig:
         steps_per_save=args.steps_per_save,
         save_only_latest_checkpoint=True,
         vis=args.vis,
+        viewer_port=args.viewer_port,
         data=data,
         model=model,
         optimizers={
