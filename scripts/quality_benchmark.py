@@ -37,7 +37,10 @@ def build_train_args(mode: str, steps: int, seq: str, eval_every: int,
         "30", seq,
         "--name", f"quality-{mode}",
         "--max-num-iterations", str(steps + 1),
-        "--steps-per-save", str(steps),
+        # periodic saves (latest-only), not just the final step: long runs
+        # on this host have been killed mid-way (round 4: a 9,910-step run
+        # died with NOTHING saved because steps_per_save == steps)
+        "--steps-per-save", str(min(2500, steps)),
         "--steps-per-eval-image", "0",
         "--steps-per-eval-batch", "0",
         "--steps-per-eval-all-images", str(eval_every),
