@@ -85,7 +85,7 @@ def build_train_args(mode: str, steps: int, seq: str, eval_every: int,
 
 def run(mode: str, steps: int, data_root: str, models_root: str,
         eval_every: int, n_timesteps_dyn: int = 16,
-        n_tables: int = 16) -> dict:
+        n_tables: int = 16, resume_run: str = None) -> dict:
     import nersemble_tpu.env as env_module
     from tests.synthetic_data import make_synthetic_dataset
     from nersemble_tpu.scripts import train_nersemble
@@ -100,7 +100,15 @@ def run(mode: str, steps: int, data_root: str, models_root: str,
     env_module.NERSEMBLE_DATA_PATH = data_root
     env_module.NERSEMBLE_MODELS_PATH = models_root
 
-    args = build_train_args(mode, steps, seq, eval_every, n_tables=n_tables)
+    if resume_run:
+        # pick up a killed run at its latest periodic checkpoint; the
+        # config (incl. schedules) reloads from the run dir and
+        # metrics.jsonl appends, so the curve below stays complete
+        args = ["30", seq, "--resume-run", resume_run,
+                "--max-num-iterations", str(steps + 1)]
+    else:
+        args = build_train_args(mode, steps, seq, eval_every,
+                                n_tables=n_tables)
 
     t0 = time.time()
     result = train_nersemble.main(args)
@@ -109,7 +117,8 @@ def run(mode: str, steps: int, data_root: str, models_root: str,
     # curve from the run's metrics.jsonl
     import glob
     run_dirs = sorted(glob.glob(os.path.join(
-        models_root, "nersemble", f"*quality-{mode}")))
+        models_root, "nersemble",
+        resume_run if resume_run else f"*quality-{mode}")))
     metrics_path = Path(run_dirs[-1]) / "metrics.jsonl"
     curve, drops = [], []
     breakdown = {}
@@ -153,7 +162,14 @@ def main():
     ap.add_argument("--data-root", default="/tmp/ns_quality_data")
     ap.add_argument("--models-root", default="/tmp/ns_quality_models")
     ap.add_argument("--out", default=str(REPO / "QUALITY_r3.json"))
+    ap.add_argument("--resume-run", default=None,
+                    help="resume a killed single-mode run (e.g. NERS-004-"
+                         "quality-static) from its latest periodic "
+                         "checkpoint; requires --mode static|dynamic")
     args = ap.parse_args()
+    if args.resume_run:
+        assert args.mode in ("static", "dynamic"), \
+            "--resume-run needs an explicit --mode"
 
     modes = ["static", "dynamic"] if args.mode == "both" else [args.mode]
     results = {}
@@ -163,7 +179,8 @@ def main():
         steps = args.steps or (3000 if mode == "static" else 12000)
         results[mode] = run(mode, steps, args.data_root, args.models_root,
                             args.eval_every, n_timesteps_dyn=args.n_timesteps,
-                            n_tables=args.n_tables)
+                            n_tables=args.n_tables,
+                            resume_run=args.resume_run)
         Path(args.out).write_text(json.dumps(results, indent=2))
         print(f"\n=== {mode}: final train PSNR "
               f"{results[mode]['final_train_psnr']} ===")
