@@ -106,11 +106,21 @@ def main():
     out = trainer.train_outputs
     intr = trainer.dataparser.data_manager.load_camera_params().intrinsics
     if args.resolution is not None:
-        # explicit target resolution: rescale intrinsics from the ORIGINAL
-        # image size so the field of view is preserved at any ray count
+        # explicit target resolution: scale intrinsics by the HEIGHT ratio
+        # and recenter the principal point, so the object fills the target
+        # frame the way it fills the capture's. Scaling by the width ratio
+        # instead (a 352-wide landscape source vs the 550x802 portrait
+        # reference frame) would widen the FOV and pad the frame with cheap
+        # empty-background rays — a flattering, dishonest fps.
+        from nersemble_tpu.data.cameras import CameraIntrinsics
         height, width = args.resolution
         original_w = out.image_width * config.data.downscale_factor
-        intr = intr.rescale(width / original_w)
+        original_h = out.image_height * config.data.downscale_factor
+        s = height / original_h
+        r = intr.rescale(s)
+        intr = CameraIntrinsics(r.fx, r.fy,
+                                r.cx + (width - original_w * s) / 2.0,
+                                r.cy + (height - original_h * s) / 2.0)
     else:
         ds = args.downscale
         intr = intr.rescale(1.0 / (config.data.downscale_factor * ds))
