@@ -169,6 +169,13 @@ def main():
     from nersemble_tpu.ops.hash_encoding import (HashGridLevels,
                                                  _quad_bwd_xla, _quad_fwd_xla)
 
+    if args.block:
+        # experiment: repad the level layout to the requested block size
+        # (HashGridLevels.create reads quad_pallas.BLOCK at create time)
+        from nersemble_tpu.ops import quad_pallas
+        quad_pallas.BLOCK = args.block
+        quad_pallas._block_meta.cache_clear()
+
     levels = HashGridLevels.create()  # flagship: 16 levels, 2^19
     E, W = levels.total_entries, 64
     rng = np.random.default_rng(0)
