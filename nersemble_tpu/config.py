@@ -211,6 +211,16 @@ class SamplingConfig(ConfigBase):
     # reference applies. 1 = exact per-candidate lookups (the two-phase
     # coarse prefilter then handles the span reduction instead).
     eval_probe_stride: int = 4
+    # Eval-time RAY packing: before chunking a frame, slab-test every ray
+    # against the (conservatively expanded) world AABB of the occupied grid
+    # cells and render only the hits; misses get exact background without
+    # evaluating anything (ops/sampling.occupied_world_aabb has the proof).
+    # At reference framing the head fills a minority of the 2200x3208 frame,
+    # so this cuts whole-frame render cost by the background fraction —
+    # sampler probes, top_k, field eval, everything. The reference renders
+    # every pixel through get_outputs_for_camera_ray_bundle (util/render.py:
+    # 13-73); packing changes no output value, only skips provably-empty work.
+    eval_ray_packing: bool = True
     # hard cap on how far the budget may GROW, in units of sample chunks
     # (max_n_samples_per_batch): every budget sample stores its encode
     # residuals across the lax.map (~2.5 KB/sample with the folded BH + bf16

@@ -365,6 +365,28 @@ class NeRSembleTrainer:
         self._fparams_cache = None  # (params_object, fparams)
         self._render_chunk = self._render_chunks[None]
 
+        # eval ray packing (see render_image): the expanded occupied-cell
+        # AABB, recomputed when the grid state changes, and the per-frame
+        # slab test deciding which rays can render anything at all
+        from nersemble_tpu.ops.sampling import (
+            occupied_world_aabb,
+            ray_aabb_intersect,
+        )
+
+        def _occ_aabb(grid_occs, grid_mask):
+            return occupied_world_aabb(model.binaries(grid_occs, grid_mask),
+                                       model.aabb_min, model.aabb_max)
+
+        def _hit_test(origins, directions, lo, hi):
+            t_near, t_far = ray_aabb_intersect(origins, directions, lo, hi)
+            t_near = jnp.maximum(t_near, model_cfg.near_plane)
+            t_far = jnp.minimum(t_far, model_cfg.far_plane)
+            return t_near <= t_far
+
+        self._occ_aabb_fn = jax.jit(_occ_aabb)
+        self._hit_test_fn = jax.jit(_hit_test)
+        self._packing_cache = None  # (grid_occs ref, grid_mask ref, lo, hi, any)
+
     # ------------------------------------------------------------------
     # schedules (host side)
     # ------------------------------------------------------------------
@@ -600,11 +622,27 @@ class NeRSembleTrainer:
         Budget overflow is never silent: any budgeted chunk that reports
         ``num_budget_dropped > 0`` (probe biased low, denser view/timestep,
         budget cached before a grid-mask or checkpoint change) is re-rendered
-        un-budgeted at the end, and the cached budget grows to cover it."""
+        un-budgeted at the end, and the cached budget grows to cover it.
+
+        Ray packing (``sampling.eval_ray_packing``): rays that provably miss
+        every occupied grid cell (slab test vs the expanded occupied-cell
+        AABB — ops/sampling.occupied_world_aabb) are skipped entirely and
+        composited as exact background; only the hits flow through the chunk
+        loop. Output-identical to rendering every ray."""
         chunk = chunk or self.config.data.eval_num_rays_per_batch
         chunk = mesh_lib.pad_to_multiple(chunk, self.n_devices)
         H, W = image_rays["height"], image_rays["width"]
         n = H * W
+        ray_keys = ("origins", "directions", "timesteps", "camera_indices")
+        ray_arrays = {key: image_rays[key] for key in ray_keys}
+        pack_idx = None
+        if (self.config.model.sampling.eval_ray_packing
+                and not self.config.model.disable_occupancy_grid):
+            hit = self._render_hit_mask(image_rays)
+            pack_idx = np.nonzero(hit)[0]
+            ray_arrays = {key: arr[pack_idx]
+                          for key, arr in ray_arrays.items()}
+        n_render = n if pack_idx is None else int(pack_idx.size)
         sched = self.sched_values(step)
         scfg = self.config.model.sampling
         S = scfg.max_samples_per_ray
@@ -623,12 +661,12 @@ class NeRSembleTrainer:
             return min(max(-(-b // 8192) * 8192, 8192), chunk * S)
 
         results = []  # [lo, hi, out, used_budget, device_batch]
-        for lo in range(0, n, chunk):
-            hi = min(lo + chunk, n)
+        for lo in range(0, n_render, chunk):
+            hi = min(lo + chunk, n_render)
             pad = chunk - (hi - lo)
             sl = {}
-            for key in ("origins", "directions", "timesteps", "camera_indices"):
-                arr = image_rays[key][lo:hi]
+            for key in ray_keys:
+                arr = ray_arrays[key][lo:hi]
                 if pad:
                     arr = np.concatenate([arr, np.repeat(arr[-1:], pad, 0)])
                 sl[key] = arr
@@ -668,13 +706,44 @@ class NeRSembleTrainer:
                     quantize(float(rec[2]["_n_valid"])))
 
         # ONE host transfer per chunk (see render_chunk's packed layout)
-        packed = np.concatenate([np.asarray(out["_packed"])[:hi - lo]
-                                 for lo, hi, out, _, _ in results])
+        parts = [np.asarray(out["_packed"])[:hi - lo]
+                 for lo, hi, out, _, _ in results]
+        if pack_idx is None:
+            packed = np.concatenate(parts)
+        else:
+            # skipped rays composite exact background: zero weights =>
+            # rgb = background, depth/accumulation/deformation = 0
+            # (ops/rendering.render_rgb with acc == 0)
+            packed = np.zeros((n, 8), np.float32)
+            packed[:, 0:3] = np.asarray(self.model.background)
+            if parts:
+                packed[pack_idx] = np.concatenate(parts)
         image = {"rgb": packed[:, 0:3], "depth": packed[:, 3:4],
                  "accumulation": packed[:, 4:5]}
         if self.config.model.use_deformation_field:
             image["deformation"] = packed[:, 5:8]
         return {key: val.reshape(H, W, -1) for key, val in image.items()}
+
+    def _render_hit_mask(self, image_rays: Dict) -> np.ndarray:
+        """bool [n]: which of the frame's rays can possibly hit an occupied
+        cell (slab test against the expanded occupied-cell AABB). The AABB
+        is recomputed only when the grid state changes (identity-keyed, like
+        ``_fparams_cache`` — the cache holds the refs)."""
+        cache = self._packing_cache
+        if (cache is None or cache[0] is not self.grid_occs
+                or cache[1] is not self.grid_mask):
+            lo, hi, any_occ = self._occ_aabb_fn(self.grid_occs, self.grid_mask)
+            cache = (self.grid_occs, self.grid_mask,
+                     np.asarray(lo), np.asarray(hi), bool(any_occ))
+            self._packing_cache = cache
+        _, _, lo, hi, any_occ = cache
+        n = image_rays["origins"].shape[0]
+        if not any_occ:
+            return np.zeros(n, bool)
+        hits = self._hit_test_fn(jnp.asarray(image_rays["origins"]),
+                                 jnp.asarray(image_rays["directions"]),
+                                 jnp.asarray(lo), jnp.asarray(hi))
+        return np.asarray(hits)
 
     def _eval_image(self, step: int, image_idx: int = 0) -> Dict[str, float]:
         image_rays = self.eval_loader.image_rays(image_idx)

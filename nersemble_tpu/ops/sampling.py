@@ -332,6 +332,51 @@ def dilate_binaries(binaries: jnp.ndarray) -> jnp.ndarray:
     return b[0] if squeeze else b
 
 
+def occupied_world_aabb(binaries: jnp.ndarray, aabb_min: jnp.ndarray,
+                        aabb_max: jnp.ndarray, expand_cells: float = 2.0):
+    """World-space AABB of the occupied cells (union over cascade levels),
+    each level's box expanded by ``expand_cells`` of that level's cell width.
+
+    Basis of the eval render path's RAY PACKING (engine/trainer.render_image):
+    every sample the eval march can mark valid lies within 2 level-l cells of
+    an occupied level-l cell — strided probing tests a one-cell-DILATED grid
+    (<= 1 cell from an occupied cell) and a probe vouches for samples within
+    ``(stride/2) * render_step_size <= 1`` base cell of it (see march_rays
+    ``occupancy_stride``; the two-phase cone-angle path probes the exact grid
+    at stride 1, which the same bound covers). A ray whose slab test misses
+    this expanded box therefore has NO valid samples and renders exact
+    background — it can be skipped without evaluating anything.
+
+    Returns ``(lo [3], hi [3], any_occ scalar bool)``; when nothing is
+    occupied ``any_occ`` is False (lo/hi are meaningless).
+    """
+    if binaries.ndim == 3:
+        binaries = binaries[None]
+    big = jnp.float32(3.4e38)
+    lo_all = jnp.full((3,), big, jnp.float32)
+    hi_all = jnp.full((3,), -big, jnp.float32)
+    any_all = jnp.asarray(False)
+    for lvl in range(binaries.shape[0]):
+        lo_l, hi_l = level_aabb(aabb_min, aabb_max, lvl)
+        b = binaries[lvl]
+        cell = (hi_l - lo_l) / jnp.asarray(b.shape, jnp.float32)
+        any_l = jnp.any(b)
+        mins, maxs = [], []
+        for ax in range(3):
+            occ = jnp.any(b, axis=tuple(a for a in range(3) if a != ax))
+            idx = jnp.arange(b.shape[ax], dtype=jnp.int32)
+            mins.append(jnp.min(jnp.where(occ, idx, b.shape[ax])))
+            maxs.append(jnp.max(jnp.where(occ, idx + 1, 0)))
+        mn = jnp.stack(mins).astype(jnp.float32) - expand_cells
+        mx = jnp.stack(maxs).astype(jnp.float32) + expand_cells
+        lo_w = lo_l.astype(jnp.float32) + mn * cell
+        hi_w = lo_l.astype(jnp.float32) + mx * cell
+        lo_all = jnp.where(any_l, jnp.minimum(lo_all, lo_w), lo_all)
+        hi_all = jnp.where(any_l, jnp.maximum(hi_all, hi_w), hi_all)
+        any_all = any_all | any_l
+    return lo_all, hi_all, any_all
+
+
 def coarse_entry_steps(origins: jnp.ndarray,
                        directions: jnp.ndarray,
                        t_near: jnp.ndarray,

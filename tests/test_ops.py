@@ -434,6 +434,37 @@ def test_ray_aabb_intersect():
     assert float(t_near[2]) > float(t_far[2])  # miss
 
 
+def test_occupied_world_aabb():
+    from nersemble_tpu.ops.sampling import occupied_world_aabb
+
+    aabb_min = jnp.zeros(3)
+    aabb_max = jnp.ones(3) * 4  # 4x4x4 grid => cell = 1.0
+    binaries = jnp.zeros((4, 4, 4), bool).at[1, 2, 3].set(True)
+    lo, hi, any_occ = occupied_world_aabb(binaries, aabb_min, aabb_max,
+                                          expand_cells=2.0)
+    assert bool(any_occ)
+    # occupied cell spans [1,2]x[2,3]x[3,4]; expanded by 2 cells per side
+    assert np.allclose(np.asarray(lo), [-1.0, 0.0, 1.0], atol=1e-5)
+    assert np.allclose(np.asarray(hi), [4.0, 5.0, 6.0], atol=1e-5)
+
+    _, _, none_occ = occupied_world_aabb(jnp.zeros((4, 4, 4), bool),
+                                         aabb_min, aabb_max)
+    assert not bool(none_occ)
+
+    # cascade: level 1 covers the base box scaled 2x about its center
+    # (cell = 2.0); union of both levels' expanded boxes
+    casc = jnp.zeros((2, 4, 4, 4), bool).at[0, 1, 2, 3].set(True) \
+        .at[1, 0, 0, 0].set(True)
+    lo, hi, any_occ = occupied_world_aabb(casc, aabb_min, aabb_max,
+                                          expand_cells=1.0)
+    assert bool(any_occ)
+    # level-1 box spans [-2, 6]; its occupied cell [0,0,0] spans [-2, 0]
+    # per axis, expanded by 1 level-1 cell (2.0) => [-4, 2]
+    # level-0 cell expanded by 1 cell => [0,3]x[1,4]x[2,5]
+    assert np.allclose(np.asarray(lo), [-4.0, -4.0, -4.0], atol=1e-5)
+    assert np.allclose(np.asarray(hi), [3.0, 4.0, 5.0], atol=1e-5)
+
+
 def test_occupancy_lookup():
     binaries = jnp.zeros((4, 4, 4), bool).at[0, 0, 0].set(True).at[3, 3, 3].set(True)
     aabb_min = jnp.zeros(3)

@@ -260,6 +260,50 @@ def test_multichip_sharded_render_matches_single(env_setup):
 
 
 @pytest.mark.slow
+def test_render_ray_packing_matches_unpacked(env_setup):
+    """Eval ray packing (skip rays that miss the expanded occupied-cell
+    AABB) must be output-identical to rendering every ray, and must
+    actually skip rays on a carved grid."""
+    from nersemble_tpu.engine.trainer import NeRSembleTrainer
+
+    data_root, models_root, meta = env_setup
+    folder = NeRSembleModelFolder(models_path=models_root)
+
+    manager = folder.new_run(name="raypack")
+    config = tiny_train_config(manager.get_run_name(), folder.get_location())
+    config.max_num_iterations = 6
+    config.steps_per_save = 5
+    trainer = NeRSembleTrainer(config, model_manager=manager,
+                               data_location=data_root,
+                               original_image_size=meta["original_size"])
+    trainer.train()
+    trainer.batcher.stop()
+    manager.save_config(config)
+
+    images = {}
+    for packing in (True, False):
+        cfg = manager.load_config()
+        cfg.load_dir = manager.get_checkpoint_folder()
+        cfg.model.sampling.eval_ray_packing = packing
+        t = NeRSembleTrainer(cfg, model_manager=manager,
+                             data_location=data_root,
+                             original_image_size=meta["original_size"])
+        rays = t.eval_loader.image_rays(0)
+        images[packing] = t.render_image(rays, step=t.start_step - 1,
+                                         chunk=64)
+        if packing:
+            hit = t._render_hit_mask(rays)
+            assert hit.any(), "synthetic object should be visible"
+            assert not hit.all(), \
+                "packing should skip some background rays on this rig"
+        t.batcher.stop()
+
+    for key in images[True]:
+        np.testing.assert_allclose(images[True][key], images[False][key],
+                                   atol=1e-6, err_msg=key)
+
+
+@pytest.mark.slow
 def test_adaptive_budget_shrinks_to_fill(tmp_path_factory):
     """With a sparse scene the compaction budget adapts DOWN to the measured
     valid-sample count (quantized), and training continues across the
