@@ -140,6 +140,15 @@ def main():
         return trainer.render_image(image_rays, step=checkpoint,
                                     chunk=args.chunk, budget="auto")
 
+    # packing stats for the record: fraction of frame-0 rays that can hit
+    # an occupied cell (the rest are skipped by eval ray packing)
+    p0 = poses_cv[0].copy() @ np.diag([1.0, -1.0, -1.0, 1.0])
+    p0[:3, 3] *= scale
+    o0, d0 = generate_image_rays(p0, intr, height, width)
+    hit_fraction = float(trainer._render_hit_mask(
+        {"origins": o0, "directions": d0}).mean()) \
+        if not config.model.disable_occupancy_grid else 1.0
+
     render(0)  # warmup/compile
     if args.trace:
         import jax
@@ -169,6 +178,7 @@ def main():
             "chunk": args.chunk,
             "auto_budget": getattr(trainer, "_auto_render_budget", None),
             "mean_accumulation": round(acc_mean, 4),
+            "hit_ray_fraction": round(hit_fraction, 4),
             "cc_filter": not args.no_cc_filter,
             "run": run,
         },
