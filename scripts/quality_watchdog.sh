@@ -9,13 +9,15 @@
 # device window, find the latest run dir for the mode, resume it.
 #
 # Usage: scripts/quality_watchdog.sh <mode> <steps> <out.json> [extra args...]
+# RESUME_FIRST=1: resume the latest run for the mode on the FIRST attempt
+# too (picking up after a hung/killed process from a previous launch).
 set -u
 mode=$1; steps=$2; out=$3; shift 3
 cd "$(dirname "$0")/.."
 models_root=${NS_QUALITY_MODELS:-/tmp/ns_quality_models}
 
 for attempt in $(seq 1 12); do
-    if [ "$attempt" -eq 1 ]; then
+    if [ "$attempt" -eq 1 ] && [ -z "${RESUME_FIRST:-}" ]; then
         python scripts/quality_benchmark.py --mode "$mode" --steps "$steps" \
             --out "$out" "$@"
     else
