@@ -200,8 +200,10 @@ class SamplingConfig(ConfigBase):
     # Strided eval marching: probe a one-cell-DILATED grid every k-th
     # candidate over the FULL span (one lookup vouches for k neighbors; no
     # coarse/fine split needed). The occupancy probes are scalar bool
-    # gathers — the measured render wall (93 ms/frame at stride 2 +
-    # two-phase, PERF.md render section) — so probe count is the lever.
+    # gathers — the sampler-side render wall on small frames (~93 ms/frame
+    # at stride 2 + two-phase; PERF.md render table, small-frame row) — so
+    # probe count is the lever. At reference scale on a dense scene the
+    # wall moves to sample evaluation instead (RENDER_r04.json).
     # Conservative superset of the exact march when (stride/2) *
     # render_step_size <= one base-level cell (a probe then sits within the
     # 1-cell dilation margin of every sample it vouches for) — the caller

@@ -79,8 +79,10 @@ def scatter_rows_back(x: jnp.ndarray, sel: jnp.ndarray,
     instead of ``n_total`` gathered rows — the winning formulation when the
     compaction budget is a small fraction of R*S (the eval path: an
     auto-probed 8k budget against a 4.2M-slot chunk made the route-back
-    gather the single largest op of the render step, 187 ms/frame —
-    PERF.md render section). ``sel`` must be duplicate-free (compaction
+    gather the single largest op of the small-frame render step, 187
+    ms/frame, during the round-3 fast-path work — PERF.md render table;
+    the recorded reference-scale number is RENDER_r04.json). ``sel`` must
+    be duplicate-free (compaction
     ranks are). Backward is a ``budget``-row gather.
     """
     return jnp.zeros((n_total, x.shape[1]), x.dtype).at[sel].set(x)
