@@ -212,11 +212,17 @@ def quad_from_cast(table: jnp.ndarray, levels: HashGridLevels) -> jnp.ndarray:
 
 
 def _quad_fwd_impl(table, levels):
-    if quad_pallas.available(levels, table.shape[1]):
+    import os
+    if (os.environ.get("NERSEMBLE_QUAD_PALLAS", "1") != "0"
+            and quad_pallas.available(levels, table.shape[1])):
         # Pallas kernel: composes full-width [BLOCK, 4W] output tiles in
         # VMEM (contiguous writes). The XLA concat below writes each 64-col
         # quarter band as a 128 B strided stream — 74.4 ms vs the kernel's
-        # 64.1 ms for the flagship table (scripts/bench_quad_build.py, r4).
+        # 64.1 ms for the flagship table in ISOLATION
+        # (scripts/bench_quad_build.py, r4). NERSEMBLE_QUAD_PALLAS=0 forces
+        # the XLA path — the IN-STEP A/B knob (the round-4a step trace put
+        # the XLA build at ~40 ms inside the full step, so isolation wins
+        # do not automatically transfer).
         return quad_pallas.build(table, levels)
     return _quad_fwd_xla(table, levels)
 
