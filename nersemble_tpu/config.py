@@ -227,10 +227,17 @@ class SamplingConfig(ConfigBase):
     # (max_n_samples_per_batch): every budget sample stores its encode
     # residuals across the lax.map (~2.5 KB/sample with the folded BH + bf16
     # CG residuals), so an uncapped early-training budget (un-carved grid =>
-    # fill ~ R*S) OOMs the flagship model. Budget overflow is dropped
-    # nearest-slots-first and is transient (the grid carves within ~1k
-    # steps). -1 = uncapped.
-    adaptive_budget_max_chunks: int = 5
+    # fill ~ R*S) OOMs the flagship model. The trainer never caps BELOW the
+    # R*S*fraction formula budget (which provably fits — it is what the
+    # step compiles with at startup). MEASURED round 4: the flagship
+    # dynamic (418M-param 32-table ensemble) ran 500 warmup steps at the
+    # formula budget 131,072 and OOMed the moment the adaptive budget grew
+    # to 393,216 (= 4 chunks) on the 16 GB chip — growth past the formula
+    # budget is what this cap bounds. Budget overflow is dropped
+    # farthest-slots-first and is transient (the grid carves within ~1k
+    # steps; the 20k static quality run converged to 26.9 dB through the
+    # same warmup drops). -1 = uncapped.
+    adaptive_budget_max_chunks: int = 1
 
 
 @dataclass

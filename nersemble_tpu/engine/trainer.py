@@ -294,16 +294,21 @@ class NeRSembleTrainer:
         self._budget = -(-int(R * S * frac) // 128) * 128 \
             if 0 < frac < 1.0 else R * S
         scfg = cfg.model.sampling
+        # growth cap: never below the formula budget (the startup step
+        # compiles and runs at it, so it provably fits HBM) — the cap only
+        # bounds ADAPTIVE growth past it (config.adaptive_budget_max_chunks:
+        # the flagship dynamic OOMed at 4 chunks, round 4)
+        self._budget_cap = R * S
         if (scfg.adaptive_budget and scfg.adaptive_budget_max_chunks > 0
                 and cfg.model.max_n_samples_per_batch > 0):
-            self._budget = min(
+            self._budget_cap = max(
                 self._budget,
                 scfg.adaptive_budget_max_chunks * cfg.model.max_n_samples_per_batch)
         if self._loaded_budget is not None:
             # resume with the ADAPTED budget the checkpoint trained with —
             # restarting from the config formula would silently drop samples
             # for up to adaptive_budget_interval steps after every resume
-            self._budget = min(int(self._loaded_budget), R * S)
+            self._budget = min(int(self._loaded_budget), self._budget_cap)
         self._sample_counts = []
         self._budget_drops = []
 
@@ -460,9 +465,7 @@ class NeRSembleTrainer:
         new = quantized_budget(measured, R, S,
                                headroom=scfg.adaptive_budget_headroom,
                                current=self._budget)
-        chunk = self.config.model.max_n_samples_per_batch
-        if scfg.adaptive_budget_max_chunks > 0 and chunk > 0:
-            new = min(new, scfg.adaptive_budget_max_chunks * chunk)
+        new = min(new, self._budget_cap)
         if new != self._budget:
             print(f"[nersemble-tpu] step {step}: compaction budget "
                   f"{self._budget} -> {new} "

@@ -354,3 +354,49 @@ def test_quantized_budget_policy():
     # clamped to [quantum, R*S]
     assert quantized_budget(0, R, S, 1.3) == 8192
     assert quantized_budget(10 ** 9, R, S, 1.3) == R * S
+
+
+def test_budget_growth_cap_never_below_formula(env_setup):
+    """adaptive_budget_max_chunks bounds GROWTH only: the startup formula
+    budget (which the compiled step provably fits — it is what the step
+    compiles with) is never capped down, and adaptation can never grow the
+    budget past max(formula, max_chunks * chunk). Round-4 regression: the
+    flagship dynamic ran its warmup at the formula budget 131,072 and OOMed
+    the 16 GB chip when the adaptive budget grew to 393,216 (4 chunks)."""
+    import nersemble_tpu.engine.trainer as trainer_mod
+
+    root, models, meta = env_setup
+    folder = NeRSembleModelFolder(models_path=models)
+    manager = folder.new_run(name="budget-cap")
+    config = tiny_train_config(manager.get_run_name(), folder.get_location())
+    config.model.sampling.adaptive_budget = True
+    config.model.sampling.adaptive_budget_interval = 4
+    # formula budget (R*S*fraction = 64*24*0.5 = 768) ABOVE the chunk cap
+    # (max_chunks=1 * chunk 256) — the old code would have capped it down
+    config.model.sampling.global_budget_fraction = 0.5
+    config.model.sampling.adaptive_budget_max_chunks = 1
+    config.model.max_n_samples_per_batch = 256
+
+    trainer = trainer_mod.NeRSembleTrainer(
+        config, model_manager=manager, data_location=root,
+        original_image_size=meta["original_size"])
+    trainer.batcher.stop()
+    R = config.data.train_num_rays_per_batch
+    S = config.model.sampling.max_samples_per_ray
+    formula = -(-int(R * S * 0.5) // 128) * 128
+    assert trainer._budget == formula  # not capped down
+    assert trainer._budget_cap == formula  # max(768, 1*256)
+
+    # adaptation with a huge measured fill must not grow past the cap
+    class FakeAux(dict):
+        pass
+
+    aux = {"num_samples": np.float32(R * S), "num_budget_dropped": np.float32(0)}
+    for step in (1, 2, 3, 4):
+        trainer._maybe_adapt_budget(step, aux)
+    assert trainer._budget <= trainer._budget_cap
+
+    # a checkpoint budget above the cap is clamped on resume
+    trainer._loaded_budget = R * S
+    trainer._build_steps()
+    assert trainer._budget == trainer._budget_cap
