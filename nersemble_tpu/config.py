@@ -236,7 +236,11 @@ class SamplingConfig(ConfigBase):
     # budget is what this cap bounds. Budget overflow is dropped
     # farthest-slots-first and is transient (the grid carves within ~1k
     # steps; the 20k static quality run converged to 26.9 dB through the
-    # same warmup drops). -1 = uncapped.
+    # same warmup drops). -1 = uncapped. NOTE: the FORMULA budget itself is
+    # not capped by this knob — a global_budget_fraction too large for HBM
+    # must be lowered directly (the cap only bounds adaptive growth above
+    # the formula, so "provably fits" holds only for configs that already
+    # compile at the formula budget).
     adaptive_budget_max_chunks: int = 1
 
 

@@ -7,6 +7,15 @@ chain (reference: nersemble_datamanager.py:13-106, nersemble_pixel_sampler.py:
 alpha, depth) and per-image metadata (timestep index, cam id, image idx), and
 generates viewer-frame pinhole rays — all in numpy, double-buffered by a
 prefetch thread so the TPU never waits on the host.
+
+Batches are STATELESS in the training step: batch(step) is a pure function of
+(seed, step) — the per-step pixel RNG and the per-set image selection are both
+derived by seeding a fresh generator with the step / set index, never by
+advancing a persistent stream. This is what makes checkpoint resume
+trajectory-exact: a run resumed at step k sees bit-identical batches to the
+run that never crashed (round-4 finding: the old persistent-stream batcher
+restarted its stream from zero on resume, the one piece of training state the
+checkpoint could not capture).
 """
 
 import queue
@@ -49,16 +58,37 @@ class RayBatcher:
         self.images_per_set = min(config.train_num_images_to_sample_from,
                                   len(dataset))
         self.repeat = max(config.train_num_times_to_repeat_images, 1)
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._set_cache = None  # (set_idx, image_indices)
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
 
+    # -- step-indexed RNG derivation ------------------------------------------
+
+    def _step_rng(self, step: int) -> np.random.Generator:
+        """Fresh generator for one step's pixel sampling (pure in (seed, step))."""
+        return np.random.default_rng([self.seed, 0x9E3779B9, step])
+
+    def _image_set(self, set_idx: int) -> np.ndarray:
+        """The working image set for steps [set_idx*repeat, (set_idx+1)*repeat)
+        (reference: CacheDataloader resampling 24 images every 20 iterations,
+        nersemble_datamanager.py + train_nersemble.py:153). Pure in
+        (seed, set_idx); cached because consecutive steps share a set."""
+        if self._set_cache is not None and self._set_cache[0] == set_idx:
+            return self._set_cache[1]
+        rng = np.random.default_rng([self.seed, 0x5DEECE66, set_idx])
+        n = len(self.dataset)
+        image_indices = rng.choice(n, size=min(self.images_per_set, n),
+                                   replace=False)
+        self._set_cache = (set_idx, image_indices)
+        return image_indices
+
     # -- batch construction --------------------------------------------------
 
-    def _make_batch(self, image_indices: np.ndarray) -> Dict[str, np.ndarray]:
+    def _make_batch(self, image_indices: np.ndarray,
+                    rng: np.random.Generator) -> Dict[str, np.ndarray]:
         out = self.outputs
-        rng = self._rng
         R = self.num_rays
         H, W = out.image_height, out.image_width
 
@@ -105,28 +135,37 @@ class RayBatcher:
             batch["depth"] = depth
         return batch
 
-    def _generator(self) -> Iterator[Dict[str, np.ndarray]]:
-        n = len(self.dataset)
+    def batch_for_step(self, step: int) -> Dict[str, np.ndarray]:
+        """The batch the training loop consumes at ``step`` — pure function."""
+        return self._make_batch(self._image_set(step // self.repeat),
+                                self._step_rng(step))
+
+    def _generator(self, start_step: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        step = start_step
         while True:
-            image_indices = self._rng.choice(
-                n, size=min(self.images_per_set, n), replace=False)
-            for _ in range(self.repeat):
-                yield self._make_batch(image_indices)
+            yield self.batch_for_step(step)
+            step += 1
 
     # -- prefetch ------------------------------------------------------------
 
-    def _worker(self):
-        for batch in self._generator():
+    def _worker(self, start_step: int):
+        for batch in self._generator(start_step):
             if self._stop.is_set():
                 return
             self._queue.put(batch)
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def iter_from(self, start_step: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Prefetched batch stream beginning at ``start_step`` (resume picks
+        up the exact batch sequence the crashed run would have seen)."""
         if self._thread is None:
-            self._thread = threading.Thread(target=self._worker, daemon=True)
+            self._thread = threading.Thread(target=self._worker,
+                                            args=(start_step,), daemon=True)
             self._thread.start()
         while True:
             yield self._queue.get()
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self.iter_from(0)
 
     def stop(self):
         """Stop the prefetch thread. Keeps draining until the worker exits so

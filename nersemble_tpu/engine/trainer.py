@@ -309,8 +309,8 @@ class NeRSembleTrainer:
             # restarting from the config formula would silently drop samples
             # for up to adaptive_budget_interval steps after every resume
             self._budget = min(int(self._loaded_budget), self._budget_cap)
-        self._sample_counts = []
-        self._budget_drops = []
+        self._sample_counts = list(getattr(self, "_loaded_counts", []))
+        self._budget_drops = list(getattr(self, "_loaded_drops", []))
 
         def occ_update(params, grid_occs, step_idx, sched, warmup):
             rng = jax.random.split(
@@ -454,7 +454,16 @@ class NeRSembleTrainer:
             return
         self._sample_counts.append(float(aux["num_samples"]))
         self._budget_drops.append(float(aux["num_budget_dropped"]))
-        if step == 0 or step % interval != 0:
+        del self._sample_counts[:-16], self._budget_drops[:-16]
+        # grow IMMEDIATELY when the sampled step dropped >2% of its valid
+        # samples — waiting for the interval boundary starved the early
+        # dynamic fade-in of ~40% of its samples for 500 straight steps
+        # (round-4 NERS-005..010 logged ~100k budget-dropped of 235k at
+        # every step through the first interval). Shrinks still wait for
+        # the boundary (hysteresis in quantized_budget). Step-indexed, so
+        # resumed runs make identical growth decisions.
+        drop_frac = self._budget_drops[-1] / max(self._sample_counts[-1], 1.0)
+        if step == 0 or (step % interval != 0 and drop_frac <= 0.02):
             return
         from nersemble_tpu.ops.sampling import quantized_budget
         R = self.config.data.train_num_rays_per_batch
@@ -501,7 +510,9 @@ class NeRSembleTrainer:
         cfg = self.config
         max_steps = max_steps or cfg.max_num_iterations
         self.save_dataparser_transforms()
-        batch_iter = iter(self.batcher)
+        # batches are step-indexed (pure in (seed, step)): resume consumes
+        # bit-identical batches to the uninterrupted run (ray_batcher.py)
+        batch_iter = self.batcher.iter_from(self.start_step)
         n_rays = cfg.data.train_num_rays_per_batch
 
         # optional jax profiler trace (aux-subsystem parity with the
@@ -577,6 +588,14 @@ class NeRSembleTrainer:
 
             if cfg.steps_per_save and step > 0 and step % cfg.steps_per_save == 0:
                 self.save_checkpoint(step)
+
+            # release eval-render caches before the next train step: the
+            # prepared quad gather operand (fparams, ~3.3 GB bf16 at flagship
+            # ensemble size) cached by render_image is STALE once params are
+            # donated, and retaining it OOMed every round-4 flagship dynamic
+            # run on the first step after its first _eval_all_images
+            # (RESOURCE_EXHAUSTED at the next batch device_put)
+            self._fparams_cache = None
 
         final_step = max_steps - 1
         self.save_checkpoint(final_step)
@@ -906,9 +925,14 @@ class NeRSembleTrainer:
 
     def save_checkpoint(self, step: int) -> None:
         path = self.checkpoint_dir() / f"step-{step:09d}.ckpt"
-        # the adapted compaction budget is training state: resume must pick
-        # up exactly where the run left off (VERDICT r2 weak #5)
-        extra = {"sample_budget": np.asarray(getattr(self, "_budget", 0))}
+        # the adapted compaction budget AND its measurement window are
+        # training state: resume must make the same adaptation decisions at
+        # the same steps as the uninterrupted run (trajectory exactness)
+        extra = {"sample_budget": np.asarray(getattr(self, "_budget", 0)),
+                 "sample_counts": np.asarray(self._sample_counts[-16:],
+                                             np.float64),
+                 "budget_drops": np.asarray(self._budget_drops[-16:],
+                                            np.float64)}
         checkpoints.save_checkpoint(path, step, self.params, self.opt_state,
                                     self.grid_occs, extra=extra)
         if self.config.save_only_latest_checkpoint:
@@ -932,4 +956,10 @@ class NeRSembleTrainer:
         self.start_step = step + 1
         if int(extra.get("sample_budget", 0)) > 0:
             self._loaded_budget = int(extra["sample_budget"])
+        self._loaded_counts = (
+            list(np.asarray(extra["sample_counts"], np.float64))
+            if "sample_counts" in extra else [])
+        self._loaded_drops = (
+            list(np.asarray(extra["budget_drops"], np.float64))
+            if "budget_drops" in extra else [])
         self._auto_render_budget = None

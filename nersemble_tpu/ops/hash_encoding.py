@@ -128,6 +128,14 @@ class HashGridLevels:
             sz = sx * res
             dense_size = sz * res
             if dense_size <= max_size:
+                # CHECKPOINT-FORMAT NOTE (round 4): padding dense level
+                # sizes to BLOCK multiples changed offsets/total_entries, so
+                # checkpoints written before the Pallas quad-build kernel
+                # landed fail to load with a shape-mismatch error
+                # (checkpoints.py raises with both shapes). The padding rows
+                # are provably dead (never indexed); older checkpoints can
+                # be migrated by zero-padding each dense segment to the new
+                # layout. No such pre-break checkpoints are in circulation.
                 size = -(-dense_size // block) * block
                 is_hashed = False
             else:

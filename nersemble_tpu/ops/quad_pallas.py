@@ -13,7 +13,8 @@ dynamic-update-slice chains.
 These kernels instead compose each FULL-WIDTH output tile in VMEM and write
 it contiguously:
 
-- grid = one step per BLOCK (1024 rows) of the entry axis; level sizes and
+- grid = one step per BLOCK (see the ``BLOCK`` constant) of the entry axis;
+  level sizes and
   offsets are padded to BLOCK multiples by ``HashGridLevels.create`` (dense
   levels only — hashed levels are a power of two already; tables with any
   non-aligned level fall back to the XLA path).

@@ -104,6 +104,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "adapted budget run as ONE chunk (PERF.md round 3b: "
                         "355 vs 388 ms/step over 2 chunks); larger budgets "
                         "split into equal chunks under this cap")
+    p.add_argument("--adaptive-budget-max-chunks", type=int, default=1,
+                   help="cap on ADAPTIVE budget growth past the formula "
+                        "budget, in units of max-n-samples-per-batch chunks "
+                        "(config.SamplingConfig.adaptive_budget_max_chunks). "
+                        "The early dynamic fade-in marches ~2.4x the formula "
+                        "budget before the grid carves; 3 lets the budget "
+                        "grow to cover it instead of dropping ~40%% of "
+                        "samples through the first interval")
     p.add_argument("--eps-depth-initial", type=float, default=0.9)
     p.add_argument("--eps-depth-final", type=float, default=0.01)
     p.add_argument("--eps-depth-end-step", type=int, default=10000)
@@ -178,6 +186,7 @@ def build_config(args, run_name: str, output_dir: str) -> TrainConfig:
             max_samples_per_ray=args.max_samples_per_ray,
             max_candidates_per_ray=args.max_candidates_per_ray,
             global_budget_fraction=args.global_budget_fraction,
+            adaptive_budget_max_chunks=args.adaptive_budget_max_chunks,
         ),
         max_n_samples_per_batch=args.max_n_samples_per_batch,
         eps_depth_initial=args.eps_depth_initial,

@@ -24,6 +24,7 @@ chain the render CLI uses.
 """
 
 import json
+import math
 import queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -129,14 +130,26 @@ class ViewerServer:
                 if parsed.path == "/render":
                     q = parse_qs(parsed.query)
                     params = dict(_DEFAULTS)
-                    for key in ("az", "el", "dist", "t"):
-                        if key in q:
-                            params[key] = float(q[key][0])
+                    # validate query params instead of letting a malformed
+                    # or non-finite value raise inside do_GET (dropped
+                    # connection) or flow unclamped into viewer_render
+                    try:
+                        for key in ("az", "el", "dist", "t"):
+                            if key in q:
+                                value = float(q[key][0])
+                                if not math.isfinite(value):
+                                    raise ValueError(f"{key} not finite")
+                                params[key] = value
+                        if "width" in q:
+                            params["width"] = max(16, min(4096,
+                                                          int(q["width"][0])))
+                    except (ValueError, TypeError) as exc:
+                        self.send_error(400, f"bad query param: {exc}")
+                        return
+                    params["t"] = min(max(params["t"], 0.0), 1.0)
+                    params["dist"] = min(max(params["dist"], 1e-3), 1e6)
                     if "channel" in q:
                         params["channel"] = q["channel"][0]
-                    if "width" in q:
-                        params["width"] = max(16, min(4096,
-                                                      int(q["width"][0])))
                     req = _Request(params)
                     server._queue.put(req)
                     if not req.event.wait(timeout=300.0):
