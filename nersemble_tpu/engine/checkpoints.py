@@ -11,13 +11,50 @@ indices) so the format is plain ``np.savez`` — inspectable, portable, no
 framework lock-in.
 """
 
-import io
+import concurrent.futures as _cf
 import os
 from pathlib import Path
 from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
+
+_FETCH_CHUNK_BYTES = 64 << 20
+_FETCH_WORKERS = 8
+
+
+def _device_fetch(tree):
+    """``jax.device_get`` with large leaves split into row chunks fetched by
+    a thread pool. The axon tunnel moves ~2x the bytes/s over 8 concurrent
+    streams (measured 35 vs 19 MB/s on a 256 MB leaf) — at the flagship
+    dynamic checkpoint size (6.7 GB: f32 table + both Adam moments) that is
+    the difference between a ~3 and a ~7 minute save. Bitwise identical to
+    a plain device_get."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    jobs = []  # (leaf_idx, part_idx, device_slice) for chunked leaves
+    out = [None] * len(leaves)
+    for i, leaf in enumerate(leaves):
+        nbytes = getattr(leaf, "nbytes", 0)
+        shape = getattr(leaf, "shape", ())
+        if (nbytes > _FETCH_CHUNK_BYTES and len(shape) >= 1
+                and shape[0] >= _FETCH_WORKERS and hasattr(leaf, "devices")):
+            n_chunks = max(-(-nbytes // _FETCH_CHUNK_BYTES), _FETCH_WORKERS)
+            rows = -(-shape[0] // n_chunks)
+            parts = [leaf[j * rows:(j + 1) * rows]
+                     for j in range(-(-shape[0] // rows))]
+            out[i] = [None] * len(parts)
+            jobs += [(i, j, p) for j, p in enumerate(parts)]
+        else:
+            out[i] = np.asarray(leaf) if hasattr(leaf, "dtype") else leaf
+    if jobs:
+        with _cf.ThreadPoolExecutor(_FETCH_WORKERS) as ex:
+            for (i, j, _), part in zip(jobs, ex.map(
+                    lambda job: np.asarray(job[2]), jobs)):
+                out[i][j] = part
+        for i, val in enumerate(out):
+            if isinstance(val, list):
+                out[i] = np.concatenate(val, axis=0)
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
@@ -66,18 +103,18 @@ def save_checkpoint(path, step: int, params, opt_state, grid_occs,
     path.parent.mkdir(parents=True, exist_ok=True)
     state = {
         "step": np.asarray(step),
-        "params": jax.device_get(params),
-        "opt_state": jax.device_get(_opt_state_to_tree(opt_state)),
+        "params": _device_fetch(params),
+        "opt_state": _device_fetch(_opt_state_to_tree(opt_state)),
         "grid_occs": jax.device_get(grid_occs),
     }
     if extra:
         state["extra"] = extra
     flat = _flatten(state)
-    buf = io.BytesIO()
-    np.savez(buf, **flat)
-    # atomic write
+    # atomic write; savez straight to the file (a BytesIO staging buffer
+    # costs an extra full-checkpoint copy + getvalue() copy at 6.7 GB)
     tmp = path.with_suffix(".tmp")
-    tmp.write_bytes(buf.getvalue())
+    with open(tmp, "wb") as f:
+        np.savez(f, **flat)
     os.replace(tmp, path)
 
 

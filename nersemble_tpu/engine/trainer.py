@@ -449,8 +449,15 @@ class NeRSembleTrainer:
         if not scfg.adaptive_budget:
             return
         interval = max(scfg.adaptive_budget_interval, 1)
-        # sample the diagnostics a few times per interval
-        if step % max(interval // 4, 1) != 0:
+        # sample the diagnostics a few times per interval; densely (every 25
+        # steps) through the first two intervals so the fast-grow path below
+        # reacts within ~25 steps of launch/resume instead of interval//4
+        # (each sample is one scalar fetch — ~30 ms through the tunnel,
+        # amortized to ~0.1% of the step at the dense cadence)
+        cadence = max(interval // 4, 1)
+        if step < 2 * interval:
+            cadence = min(cadence, 25)
+        if step % cadence != 0:
             return
         self._sample_counts.append(float(aux["num_samples"]))
         self._budget_drops.append(float(aux["num_budget_dropped"]))
@@ -933,8 +940,14 @@ class NeRSembleTrainer:
                                              np.float64),
                  "budget_drops": np.asarray(self._budget_drops[-16:],
                                             np.float64)}
+        t0 = time.time()
         checkpoints.save_checkpoint(path, step, self.params, self.opt_state,
                                     self.grid_occs, extra=extra)
+        dt = time.time() - t0
+        if dt > 5.0:  # flagship saves cross the tunnel (minutes) — make the
+            # cost visible so cadence choices stay evidence-based
+            print(f"[nersemble-tpu] step {step}: checkpoint saved in {dt:.0f} s")
+        self.writer.put_scalars(step, {"checkpoint_save_seconds": dt})
         if self.config.save_only_latest_checkpoint:
             checkpoints.prune_old_checkpoints(self.checkpoint_dir(), step)
 

@@ -27,7 +27,7 @@ sys.path.insert(0, str(REPO))
 
 
 def build_train_args(mode: str, steps: int, seq: str, eval_every: int,
-                     n_tables: int = 16) -> list:
+                     n_tables: int = 16, steps_per_save: int = 2000) -> list:
     """Train-CLI arg list for a quality run: the benched configuration
     (bench.py/__graft_entry__ flagship) with schedules compressed to the run
     length. Pure function so tests can assert the args build a valid config
@@ -37,11 +37,14 @@ def build_train_args(mode: str, steps: int, seq: str, eval_every: int,
         "30", seq,
         "--name", f"quality-{mode}",
         "--max-num-iterations", str(steps + 1),
-        # periodic saves (latest-only) at the EVAL cadence, not just the
-        # final step: round 4's dynamic runs died right after the first
-        # eval at step 500 while the first save was at 2500, so the
-        # watchdog could only ever restart from zero (VERDICT r4 weak #2)
-        "--steps-per-save", str(min(500, steps)),
+        # periodic saves (latest-only), frequent enough that the watchdog
+        # resumes instead of restarting (round 4: first save at 2500 >
+        # dynamic survival, so every crash restarted from zero). The
+        # flagship dynamic checkpoint is 6.7 GB across the slow axon
+        # tunnel (~3 min/save with the chunked-threaded fetch), so the
+        # cadence balances save cost against the loss window; resume is
+        # trajectory-exact either way (tests/test_trainer.py).
+        "--steps-per-save", str(min(steps_per_save, steps)),
         "--steps-per-eval-image", "0",
         "--steps-per-eval-batch", "0",
         "--steps-per-eval-all-images", str(eval_every),
@@ -91,7 +94,8 @@ def build_train_args(mode: str, steps: int, seq: str, eval_every: int,
 
 def run(mode: str, steps: int, data_root: str, models_root: str,
         eval_every: int, n_timesteps_dyn: int = 16,
-        n_tables: int = 16, resume_run: str = None) -> dict:
+        n_tables: int = 16, resume_run: str = None,
+        steps_per_save: int = 2000) -> dict:
     import nersemble_tpu.env as env_module
     from tests.synthetic_data import make_synthetic_dataset
     from nersemble_tpu.scripts import train_nersemble
@@ -114,7 +118,8 @@ def run(mode: str, steps: int, data_root: str, models_root: str,
                 "--max-num-iterations", str(steps + 1)]
     else:
         args = build_train_args(mode, steps, seq, eval_every,
-                                n_tables=n_tables)
+                                n_tables=n_tables,
+                                steps_per_save=steps_per_save)
 
     t0 = time.time()
     result = train_nersemble.main(args)
@@ -161,6 +166,7 @@ def main():
                     default="both")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--eval-every", type=int, default=500)
+    ap.add_argument("--steps-per-save", type=int, default=2000)
     ap.add_argument("--n-timesteps", type=int, default=16,
                     help="dynamic-mode sequence length")
     ap.add_argument("--n-tables", type=int, default=16,
@@ -186,7 +192,8 @@ def main():
         results[mode] = run(mode, steps, args.data_root, args.models_root,
                             args.eval_every, n_timesteps_dyn=args.n_timesteps,
                             n_tables=args.n_tables,
-                            resume_run=args.resume_run)
+                            resume_run=args.resume_run,
+                            steps_per_save=args.steps_per_save)
         Path(args.out).write_text(json.dumps(results, indent=2))
         print(f"\n=== {mode}: final train PSNR "
               f"{results[mode]['final_train_psnr']} ===")
