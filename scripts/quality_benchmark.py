@@ -27,7 +27,8 @@ sys.path.insert(0, str(REPO))
 
 
 def build_train_args(mode: str, steps: int, seq: str, eval_every: int,
-                     n_tables: int = 16, steps_per_save: int = 2000) -> list:
+                     n_tables: int = 16, steps_per_save: int = 2000,
+                     run_suffix: str = "") -> list:
     """Train-CLI arg list for a quality run: the benched configuration
     (bench.py/__graft_entry__ flagship) with schedules compressed to the run
     length. Pure function so tests can assert the args build a valid config
@@ -35,7 +36,7 @@ def build_train_args(mode: str, steps: int, seq: str, eval_every: int,
     launch time)."""
     args = [
         "30", seq,
-        "--name", f"quality-{mode}",
+        "--name", f"quality-{mode}{run_suffix}",
         "--max-num-iterations", str(steps + 1),
         # periodic saves (latest-only), frequent enough that the watchdog
         # resumes instead of restarting (round 4: first save at 2500 >
@@ -95,7 +96,7 @@ def build_train_args(mode: str, steps: int, seq: str, eval_every: int,
 def run(mode: str, steps: int, data_root: str, models_root: str,
         eval_every: int, n_timesteps_dyn: int = 16,
         n_tables: int = 16, resume_run: str = None,
-        steps_per_save: int = 2000) -> dict:
+        steps_per_save: int = 2000, texture_style: str = "default") -> dict:
     import nersemble_tpu.env as env_module
     from tests.synthetic_data import make_synthetic_dataset
     from nersemble_tpu.scripts import train_nersemble
@@ -103,9 +104,12 @@ def run(mode: str, steps: int, data_root: str, models_root: str,
     n_timesteps = 1 if mode == "static" else n_timesteps_dyn
     squash = 0.0 if mode == "static" else 0.15
     seq = f"SYN-Q-{mode.upper()}"
+    if texture_style != "default":
+        seq += f"-{texture_style.upper()}"
     make_synthetic_dataset(
         data_root, sequence_name=seq, n_timesteps=n_timesteps,
-        original_size=(256, 352), texture=True, squash=squash)
+        original_size=(256, 352), texture=True, squash=squash,
+        texture_style=texture_style)
 
     env_module.NERSEMBLE_DATA_PATH = data_root
     env_module.NERSEMBLE_MODELS_PATH = models_root
@@ -117,9 +121,11 @@ def run(mode: str, steps: int, data_root: str, models_root: str,
         args = ["30", seq, "--resume-run", resume_run,
                 "--max-num-iterations", str(steps + 1)]
     else:
+        suffix = "" if texture_style == "default" else f"-{texture_style}"
         args = build_train_args(mode, steps, seq, eval_every,
                                 n_tables=n_tables,
-                                steps_per_save=steps_per_save)
+                                steps_per_save=steps_per_save,
+                                run_suffix=suffix)
 
     t0 = time.time()
     result = train_nersemble.main(args)
@@ -129,31 +135,56 @@ def run(mode: str, steps: int, data_root: str, models_root: str,
     import glob
     run_dirs = sorted(glob.glob(os.path.join(
         models_root, "nersemble",
-        resume_run if resume_run else f"*quality-{mode}")))
+        resume_run if resume_run
+        else f"*quality-{mode}" + ("" if texture_style == "default"
+                                   else f"-{texture_style}"))))
     metrics_path = Path(run_dirs[-1]) / "metrics.jsonl"
+    # metrics.jsonl APPENDS across crash-resumes, so steps can regress at a
+    # resume boundary; every curve point carries its branch index instead of
+    # silently interleaving conflicting values (VERDICT r4 weak #4 — the
+    # round-4 artifact contained duplicate steps 3 dB apart with no marker).
+    # Since round 5 resume is trajectory-exact, later branches supersede
+    # earlier ones at overlapping steps; the overlap is kept as evidence.
     curve, drops = [], []
     breakdown = {}
+    branch, last_step = 0, -1
     for line in metrics_path.read_text().splitlines():
         rec = json.loads(line)
+        step = rec.get("step", -1)
+        if step < last_step:
+            branch += 1
+        last_step = step
         if "eval_all_psnr" in rec:
-            curve.append({"step": rec["step"],
-                          "eval_psnr": round(rec["eval_all_psnr"], 3),
-                          "eval_ssim": round(rec.get("eval_all_ssim", 0), 4)})
+            point = {"step": step, "branch": branch,
+                     "eval_psnr": round(rec["eval_all_psnr"], 3),
+                     "eval_ssim": round(rec.get("eval_all_ssim", 0), 4)}
+            if "eval_all_psnr_masked" in rec:
+                point["eval_psnr_masked"] = round(
+                    rec["eval_all_psnr_masked"], 3)
+            curve.append(point)
             # last eval's per-camera / per-timestep PSNR attribution
             breakdown = {k: round(v, 3) for k, v in rec.items()
                          if k.startswith("eval_cam") or k.startswith("eval_t")}
         if "budget_dropped_per_batch" in rec:
-            drops.append({"step": rec["step"],
+            drops.append({"step": step, "branch": branch,
                           "samples": rec.get("samples_per_batch"),
                           "slot_dropped": rec.get("dropped_samples_per_batch"),
                           "budget_dropped": rec["budget_dropped_per_batch"]})
+    # full drop curve, downsampled to <= 80 points (VERDICT r4 weak #7 asks
+    # for the drop trajectory, not just the tail)
+    stride = max(len(drops) // 80, 1)
+    drop_curve = drops[::stride]
+    if drops and drop_curve[-1] is not drops[-1]:
+        drop_curve.append(drops[-1])
     return {
         "mode": mode,
         "steps": steps,
         "wall_clock_s": round(wall, 1),
         "final_train_psnr": round(result.get("train_psnr", float("nan")), 3),
+        "n_resumes": branch,
         "eval_curve": curve,
         "final_eval_breakdown": breakdown,
+        "drop_curve": drop_curve,
         "drop_diagnostics_tail": drops[-5:],
         "run_dir": run_dirs[-1],
         "n_timesteps": n_timesteps,
@@ -167,6 +198,12 @@ def main():
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--eval-every", type=int, default=500)
     ap.add_argument("--steps-per-save", type=int, default=2000)
+    ap.add_argument("--texture-style", choices=["default", "sharp"],
+                    default="default",
+                    help="'sharp' adds strong very-high-frequency surface "
+                         "texture — the carving pressure smooth synthetic "
+                         "textures lack (the round-4 static run converged "
+                         "to volumetric fog; VERDICT r4 weak #6)")
     ap.add_argument("--n-timesteps", type=int, default=16,
                     help="dynamic-mode sequence length")
     ap.add_argument("--n-tables", type=int, default=16,
@@ -189,15 +226,18 @@ def main():
         results = json.loads(Path(args.out).read_text())
     for mode in modes:
         steps = args.steps or (3000 if mode == "static" else 12000)
-        results[mode] = run(mode, steps, args.data_root, args.models_root,
-                            args.eval_every, n_timesteps_dyn=args.n_timesteps,
-                            n_tables=args.n_tables,
-                            resume_run=args.resume_run,
-                            steps_per_save=args.steps_per_save)
+        key = mode if args.texture_style == "default" \
+            else f"{mode}_{args.texture_style}"
+        results[key] = run(mode, steps, args.data_root, args.models_root,
+                           args.eval_every, n_timesteps_dyn=args.n_timesteps,
+                           n_tables=args.n_tables,
+                           resume_run=args.resume_run,
+                           steps_per_save=args.steps_per_save,
+                           texture_style=args.texture_style)
         Path(args.out).write_text(json.dumps(results, indent=2))
-        print(f"\n=== {mode}: final train PSNR "
-              f"{results[mode]['final_train_psnr']} ===")
-        for point in results[mode]["eval_curve"]:
+        print(f"\n=== {key}: final train PSNR "
+              f"{results[key]['final_train_psnr']} ===")
+        for point in results[key]["eval_curve"]:
             print(f"  step {point['step']:6d}: eval PSNR {point['eval_psnr']}"
                   f"  SSIM {point['eval_ssim']}")
     print(f"\nwrote {args.out}")

@@ -35,11 +35,19 @@ def squash_factor(time_frac: float, amplitude: float) -> float:
     return 1.0 - amplitude * np.sin(np.pi * time_frac)
 
 
-def surface_texture(n_obj: np.ndarray) -> np.ndarray:
+def surface_texture(n_obj: np.ndarray, style: str = "default") -> np.ndarray:
     """Procedural multi-frequency albedo from OBJECT-space unit normals
     (sticks to the surface under motion/deformation). Textureless hold-out
     PSNR is meaningless — VERDICT round 1 — so the quality benchmark needs
-    real high-frequency content to reconstruct."""
+    real high-frequency content to reconstruct.
+
+    ``style="sharp"`` adds strong very-high-frequency bands (period ~4 px at
+    the quality-benchmark framing). Fog is a near-optimum of the loss stack
+    on SMOOTH textures (the empty loss's sum of squared per-sample weights
+    is minimized by spreading mass, and a low-frequency albedo renders
+    acceptably through haze); real captures carve because multi-view
+    parallax of fine texture is inconsistent under fog — this style restores
+    that carving pressure (VERDICT r4 weak #6 / missing #3)."""
     theta = np.arctan2(n_obj[..., 1], n_obj[..., 0])
     phi = np.arccos(np.clip(n_obj[..., 2], -1.0, 1.0))
     t1 = np.sin(9.0 * theta) * np.sin(9.0 * phi)
@@ -48,7 +56,12 @@ def surface_texture(n_obj: np.ndarray) -> np.ndarray:
     r = 0.55 + 0.35 * t1 + 0.10 * t2
     g = 0.45 + 0.30 * t3 - 0.15 * t1
     b = 0.50 + 0.25 * t2 + 0.15 * t3
-    return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    if style == "sharp":
+        s1 = np.sin(81.0 * theta + 0.4) * np.sin(67.0 * phi + 1.9)
+        s2 = np.sign(np.sin(41.0 * theta) * np.sin(37.0 * phi + 0.5))
+        rgb = rgb + (0.22 * s1 + 0.13 * s2)[..., None]
+    return np.clip(rgb, 0.0, 1.0)
 
 
 def _camera_rig(n_cams: int = 16, elevation_deg: float = 22.5):
@@ -86,7 +99,7 @@ def _camera_rig(n_cams: int = 16, elevation_deg: float = 22.5):
 
 def _render_view(w2c: np.ndarray, intrinsics: np.ndarray, width: int,
                  height: int, time_frac: float, texture: bool = False,
-                 squash: float = 0.0):
+                 squash: float = 0.0, texture_style: str = "default"):
     """Analytic render -> (rgb u8 [H,W,3], alpha u8 [H,W], depth f32 [H,W]).
 
     The shape is a sphere (optionally y-squashed into a time-varying
@@ -130,7 +143,7 @@ def _render_view(w2c: np.ndarray, intrinsics: np.ndarray, width: int,
     light = np.array([0.5, -0.7, 0.5])
     light = light / np.linalg.norm(light)
     shade = np.clip((normals * light).sum(-1), 0.0, 1.0) * 0.7 + 0.3
-    albedo = surface_texture(n_obj) if texture else SPHERE_COLOR
+    albedo = surface_texture(n_obj, texture_style) if texture else SPHERE_COLOR
     rgb = np.where(hit[..., None], albedo * shade[..., None], 0.0)
     rgb_u8 = (np.clip(rgb, 0, 1) * 255).round().astype(np.uint8)
     alpha_u8 = np.where(hit, 255, 0).astype(np.uint8)
@@ -143,7 +156,8 @@ def make_synthetic_dataset(root, participant_id: int = 30,
                            original_size=(64, 88),
                            n_cams: int = 16,
                            texture: bool = False,
-                           squash: float = 0.0) -> dict:
+                           squash: float = 0.0,
+                           texture_style: str = "default") -> dict:
     """Write the dataset; returns metadata (sizes, poses, intrinsics)."""
     import imageio.v3 as iio
 
@@ -173,7 +187,8 @@ def make_synthetic_dataset(root, participant_id: int = 30,
         for serial, w2c in poses.items():
             rgb, alpha, depth = _render_view(w2c, intrinsics_half, w, h,
                                              time_frac, texture=texture,
-                                             squash=squash)
+                                             squash=squash,
+                                             texture_style=texture_style)
             iio.imwrite(img_dir / f"cam_{serial}.png", rgb)
             iio.imwrite(alpha_dir / f"cam_{serial}.png", alpha)
             iio.imwrite(depth_dir / f"cam_{serial}.png", quantizer.encode(depth))
