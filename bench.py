@@ -54,8 +54,9 @@ def main():
     # Steady-state valid-sample fill measured on the CONVERGED static quality
     # run (QUALITY_r3.json drop_diagnostics_tail: ~59-63k valid samples/step
     # at R=4096, zero budget drops). The trainer's adaptive budget
-    # (ops/sampling.quantized_budget: x1.3 headroom, R*S/32 quantum) lands on
-    # 98,304 for that fill — the benched default, so the bench measures the
+    # (ops/sampling.quantized_budget: x1.15 headroom, R*S/128 quantum —
+    # round 5) lands on 73,728 for that fill (round 4: 98,304, i.e. 36%
+    # padding rows) — the benched default, so the bench measures the
     # steady-state step the trainer actually runs, not the cold-start one.
     STEADY_STATE_FILL = 63188
     # benchmark at the paper's batch size with the steady-state sample budget.

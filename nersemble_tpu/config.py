@@ -164,7 +164,14 @@ class SamplingConfig(ConfigBase):
     # carves, real fill falls to a few % of R*S — the budget follows it.
     # Applies to the train step only; eval uses global_budget_fraction.
     adaptive_budget: bool = True
-    adaptive_budget_headroom: float = 1.3
+    # 1.15 (round 5, was 1.3): every budget row above the true fill is dead
+    # gather/scatter work — at the converged static fill (~63k) the old
+    # 1.3-headroom R*S/32-quantized budget (98,304) carried 36% padding.
+    # The tighter headroom is safe because the trainer now GROWS the budget
+    # within ~25 steps of any sampled step that drops >2% of its samples
+    # (trainer._maybe_adapt_budget); steady-state fill fluctuation measured
+    # +/-5% (QUALITY_r3/r4 drop diagnostics).
+    adaptive_budget_headroom: float = 1.15
     adaptive_budget_interval: int = 500  # steps between re-evaluations
     # Eval-time coarse prefilter (render-path sampler wall, PERF.md render
     # section): probe a one-cell-DILATED occupancy grid every

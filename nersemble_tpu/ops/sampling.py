@@ -195,22 +195,29 @@ def compact_samples_monotone(mask: jnp.ndarray, budget: int):
 
 
 def quantized_budget(measured_samples: float, n_rays: int, n_slots: int,
-                     headroom: float = 1.3,
+                     headroom: float = 1.15,
                      current: Optional[int] = None) -> int:
     """Next train-step compaction budget from a measured valid-sample count.
 
-    Quantized to 1/32nds of R*S (each distinct value costs one re-jit of the
-    train step, so changes must be coarse and rare) with hysteresis: grow
-    immediately when the measured fill approaches the budget, shrink only
-    when clearly (>= 1 quantum) below — as the occupancy grid carves, real
-    fill falls to a few %% of R*S and the budget follows it down. 1/32
-    matters at the flagship size: the converged static quality run measures
-    ~63k valid samples (x1.3 headroom = 82k), which lands at 98,304 instead
-    of rounding to the 131,072 a 1/16 quantum forces — 25%% fewer
-    gather/scatter rows in the steady-state step.
+    Quantized to 1/128ths of R*S (each distinct value costs one re-jit of
+    the train step, so changes must be coarse and rare) with hysteresis:
+    grow immediately when the measured fill approaches the budget, shrink
+    only when clearly (>= 1 quantum) below — as the occupancy grid carves,
+    real fill falls to a few %% of R*S and the budget follows it down.
+    Quantum and headroom are sized so the steady-state step does as little
+    dead work as the re-jit economy allows: at the converged static fill
+    (~63k valid samples, R=4096 x S=256) the round-4 policy (1/32 quantum,
+    x1.3 headroom) landed at 98,304 — 36%% padding rows in every
+    gather/scatter; 1/128 + x1.15 lands at 73,728 (14%% padding), ~25%%
+    fewer table-op rows per step. Shrinks only fire at interval boundaries
+    and the hysteresis quantum (8,192 rows at flagship size) exceeds the
+    measured +/-5%% steady-state fill fluctuation, so the step still re-jits
+    only a handful of times per run. The tighter headroom is safe because
+    the trainer grows the budget within ~25 steps of any sampled step
+    dropping >2%% of its samples.
     """
     total = n_rays * n_slots
-    quantum = max(total // 32, 128)
+    quantum = max(total // 128, 128)
     q = -(-int(measured_samples * headroom) // quantum) * quantum
     q = min(max(q, quantum), total)
     if current is not None:

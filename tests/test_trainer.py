@@ -449,19 +449,22 @@ def test_adaptive_budget_shrinks_to_fill(tmp_path_factory):
 def test_quantized_budget_policy():
     from nersemble_tpu.ops.sampling import quantized_budget
 
-    # quantum = 4096*64/32 = 8192
+    # quantum = 4096*64/128 = 2048
     R, S = 4096, 64
-    # fresh: rounds measured*headroom UP to a quantum (65000 -> 8 quanta)
+    # fresh: rounds measured*headroom UP to a quantum (65000 -> 32 quanta)
     assert quantized_budget(50000, R, S, 1.3) == 65536
     # grow immediately when above current
     assert quantized_budget(100000, R, S, 1.3, current=65536) == 131072
     # same quantum -> unchanged
     assert quantized_budget(50000, R, S, 1.3, current=65536) == 65536
-    # shrink when the quantum falls (39000 -> 5 quanta)
+    # shrink when the quantum falls (39000 -> 20 quanta)
     assert quantized_budget(30000, R, S, 1.3, current=65536) == 40960
     # clamped to [quantum, R*S]
-    assert quantized_budget(0, R, S, 1.3) == 8192
+    assert quantized_budget(0, R, S, 1.3) == 2048
     assert quantized_budget(10 ** 9, R, S, 1.3) == R * S
+    # flagship steady state: the round-5 policy lands at 73,728 (14% padding
+    # over the measured ~63k fill) instead of round 4's 98,304 (36%)
+    assert quantized_budget(63188, 4096, 256) == 73728
 
 
 def test_budget_growth_cap_never_below_formula(env_setup):
