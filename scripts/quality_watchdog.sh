@@ -21,7 +21,9 @@ for attempt in $(seq 1 12); do
         python scripts/quality_benchmark.py --mode "$mode" --steps "$steps" \
             --out "$out" "$@"
     else
-        run=$(ls -d "$models_root"/nersemble/*quality-"$mode" 2>/dev/null \
+        # trailing * so texture-style suffixed runs (…-quality-static-sharp)
+        # are resumable too
+        run=$(ls -d "$models_root"/nersemble/*quality-"$mode"* 2>/dev/null \
               | sort | tail -1 | xargs -r basename)
         if [ -z "$run" ] || [ -z "$(ls "$models_root/nersemble/$run/checkpoints" 2>/dev/null)" ]; then
             # crashed before the first periodic save: start over
