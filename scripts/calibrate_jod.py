@@ -12,12 +12,27 @@ one HARD published anchor plus interpolated targets:
 - HARD: the reference's official metrics (/root/reference/README.md:159-166)
   pair PSNR 31.48 with JOD 7.85 on the same renders — one (distortion
   level -> JOD) correspondence for NeRF-like (blur-dominant) artifacts.
+- HARD (by construction): an identical test/reference pair scores JOD 10
+  exactly — FovVideoVDP's scale definition (10 = imperceptible difference);
+  the power-law form 10 - a*Q^e passes through it for any (a, e).
 - DERIVED: the NeRSemble paper's baseline table spans roughly 0.2 JOD per dB
   of PSNR around that anchor (weaker baselines: lower PSNR, proportionally
   lower JOD), and JOD 10 is pinned to the identical pair by construction.
   Targets at other PSNRs are linear in PSNR through the anchor with that
   slope, clamped to (0, 10). They are interpolations, not transcriptions —
   documented in STATUS.md.
+
+VERDICT r4 #9 asked for 2-3 TRANSCRIBED published distortion-level JODs to
+replace the asserted slope. Honest finding: that is not possible in this
+environment — the NeRSemble paper PDF and the FovVideoVDP paper's fitted
+tables are not on this machine (PAPERS.md retrieval returned nothing usable)
+and there is no network egress to fetch them. What the calibration therefore
+rests on, explicitly: (1) the PSNR 31.48 <-> JOD 7.85 hard anchor, (2) the
+JOD-10-at-identical hard anchor, (3) an asserted-and-documented local slope.
+Within-run comparisons (is checkpoint A better than B) are slope-robust;
+absolute cross-paper comparisons carry the slope caveat. When the real
+pyfvvdp is importable it is auto-preferred and this whole file is moot
+(utils/jod.py resolution order).
 
 Distortion model: gaussian blur + light noise on a textured synthetic head
 frame stack (blur/ghosting dominates NeRF novel-view error; pure noise is
