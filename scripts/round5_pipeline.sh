@@ -1,0 +1,76 @@
+#!/bin/bash
+# Round-5 chip-bound artifact pipeline. Launched detached alongside the
+# flagship dynamic watchdog; waits for the chip to free up, then produces
+# every remaining round-5 artifact in sequence so the TPU never sits idle
+# between a long run finishing and the next one starting:
+#
+#   1. static-sharp carve run (VERDICT r4 #4/#8: a checkpoint that carves)
+#   2. RENDER bench on the carved checkpoint at reference scale (802x550)
+#      + the dynamic flagship checkpoint as the adversarial/fog case
+#   3. evaluate-CLI end-to-end on both trained checkpoints (VERDICT r4 #2)
+#   4. v5e-8 projection from the dynamic run's converged operating point
+#      (VERDICT r4 #6)
+#
+# Raw outputs land in /tmp/r5_artifacts/; curation + commits stay manual.
+set -u
+cd "$(dirname "$0")/.."
+export NERSEMBLE_DATA_PATH=${NERSEMBLE_DATA_PATH:-/tmp/ns_quality_data}
+export NERSEMBLE_MODELS_PATH=${NERSEMBLE_MODELS_PATH:-/tmp/ns_quality_models}
+ART=/tmp/r5_artifacts
+mkdir -p "$ART"
+
+log() { echo "[pipeline $(date +%H:%M:%S)] $*"; }
+
+# -- 0. wait for the dynamic watchdog (and any trainer it supervises) -------
+if [ -f /tmp/dyn_watchdog.pid ]; then
+    pid=$(cat /tmp/dyn_watchdog.pid)
+    log "waiting for dynamic watchdog pid $pid"
+    while kill -0 "$pid" 2>/dev/null; do sleep 60; done
+    log "dynamic watchdog exited"
+fi
+sleep 30  # let the device settle after the long run
+
+# -- 1. static-sharp carve run ----------------------------------------------
+log "static-sharp carve run (8000 steps)"
+bash scripts/quality_watchdog.sh static 8000 "$PWD/QUALITY_r5.json" \
+    --texture-style sharp --eval-every 500 \
+    > "$ART/static_sharp_train.log" 2>&1
+log "static-sharp run rc=$?"
+
+sharp_run=$(ls -d "$NERSEMBLE_MODELS_PATH"/nersemble/*quality-static-sharp \
+            2>/dev/null | sort | tail -1 | xargs -r basename)
+
+# -- 2. render fps at reference scale ---------------------------------------
+if [ -n "$sharp_run" ]; then
+    log "render bench on $sharp_run"
+    python scripts/bench_render.py --run "$sharp_run" \
+        --resolution 802 550 --frames 8 \
+        > "$ART/render_sharp.json" 2> "$ART/render_sharp.err"
+    log "render bench (sharp) rc=$?"
+fi
+log "render bench on NERS-001-quality-dynamic (adversarial fog/deform case)"
+python scripts/bench_render.py --run NERS-001-quality-dynamic \
+    --resolution 802 550 --frames 4 \
+    > "$ART/render_dynamic.json" 2> "$ART/render_dynamic.err"
+log "render bench (dynamic) rc=$?"
+
+# -- 3. evaluate CLI end-to-end on both checkpoints --------------------------
+log "evaluate CLI on NERS-001-quality-dynamic"
+python -m nersemble_tpu.scripts.evaluate_nersemble NERS-001-quality-dynamic \
+    > "$ART/evaluate_dynamic.log" 2>&1
+log "evaluate (dynamic) rc=$?"
+if [ -n "$sharp_run" ]; then
+    log "evaluate CLI on $sharp_run"
+    python -m nersemble_tpu.scripts.evaluate_nersemble "$sharp_run" \
+        > "$ART/evaluate_sharp.log" 2>&1
+    log "evaluate (sharp) rc=$?"
+fi
+
+# -- 4. v5e-8 projection at the dynamic run's converged operating point ------
+log "projection from NERS-001-quality-dynamic"
+python scripts/bench_projection.py \
+    --from-run "$NERSEMBLE_MODELS_PATH/nersemble/NERS-001-quality-dynamic" \
+    > "$ART/projection_dynamic.json" 2> "$ART/projection_dynamic.err"
+log "projection rc=$?"
+
+log "pipeline complete; artifacts in $ART"
