@@ -31,10 +31,25 @@ fi
 sleep 30  # let the device settle after the long run
 
 # -- 1. static-sharp carve run ----------------------------------------------
+# Run the watchdog in the background and arm a hang guard on it: the crash
+# watchdog only handles a trainer that EXITS; a wedged tunnel would stall
+# this whole chain silently without the guard (same failure mode the
+# flagship run guards against).
 log "static-sharp carve run (8000 steps)"
 bash scripts/quality_watchdog.sh static 8000 "$PWD/QUALITY_r5.json" \
     --texture-style sharp --eval-every 500 \
-    > "$ART/static_sharp_train.log" 2>&1
+    > "$ART/static_sharp_train.log" 2>&1 &
+carve_wd=$!
+(
+    m=""
+    for _ in $(seq 1 60); do
+        sleep 30
+        m=$(ls -t "$NERSEMBLE_MODELS_PATH"/nersemble/*quality-static-sharp*/metrics.jsonl 2>/dev/null | head -1)
+        [ -n "$m" ] && break
+    done
+    [ -n "$m" ] && bash scripts/hang_guard.sh "$carve_wd" "$m"
+) > "$ART/hang_guard_sharp.log" 2>&1 &
+wait "$carve_wd"
 log "static-sharp run rc=$?"
 
 sharp_run=$(ls -d "$NERSEMBLE_MODELS_PATH"/nersemble/*quality-static-sharp \
