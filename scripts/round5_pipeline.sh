@@ -88,4 +88,54 @@ python scripts/bench_projection.py \
     > "$ART/projection_dynamic.json" 2> "$ART/projection_dynamic.err"
 log "projection rc=$?"
 
-log "pipeline complete; artifacts in $ART"
+# -- 5. curate artifacts into the repo ---------------------------------------
+# The driver commits uncommitted work at round end; landing curated
+# artifacts at the repo root here means nothing is lost even if no session
+# is alive to curate by hand.
+log "curating artifacts into the repo"
+python - <<'PY'
+import json, shutil, glob, os
+ART = "/tmp/r5_artifacts"
+MODELS = os.environ.get("NERSEMBLE_MODELS_PATH", "/tmp/ns_quality_models")
+
+def load(p):
+    try:
+        with open(p) as f:
+            txt = f.read().strip()
+        # bench scripts print one JSON line (possibly after warmup noise)
+        for line in reversed(txt.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+    except Exception as e:
+        return {"error": f"{type(e).__name__}: {e}", "source": p}
+    return {"error": "no JSON line", "source": p}
+
+render = {"protocol": "802x550, same as RENDER_r04; sharp = carved "
+                      "checkpoint (VERDICT r4 #4), dynamic = adversarial "
+                      "fog/deformation case"}
+sharp = load(f"{ART}/render_sharp.json")
+if "error" not in sharp or os.path.exists(f"{ART}/render_sharp.json"):
+    render["sharp"] = sharp
+render["dynamic"] = load(f"{ART}/render_dynamic.json")
+with open("RENDER_r05.json", "w") as f:
+    json.dump(render, f, indent=2)
+
+proj = load(f"{ART}/projection_dynamic.json")
+with open("PROJECTION_r05.json", "w") as f:
+    json.dump(proj, f, indent=2)
+
+for tag, pat in [("dynamic", f"{MODELS}/nersemble/NERS-001-quality-dynamic"),
+                 ("sharp", f"{MODELS}/nersemble/*quality-static-sharp*")]:
+    dirs = sorted(glob.glob(pat))
+    if not dirs:
+        continue
+    hits = sorted(glob.glob(f"{dirs[-1]}/evaluation/*/evaluation_result.json"))
+    if hits:
+        shutil.copy(hits[-1], f"EVALUATION_r5_{tag}.json")
+        print(f"curated EVALUATION_r5_{tag}.json <- {hits[-1]}")
+print("curation done")
+PY
+log "curation rc=$?"
+
+log "pipeline complete; artifacts in $ART + repo root"
