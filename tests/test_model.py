@@ -533,3 +533,83 @@ def test_dilate_binaries_and_coarse_entry():
     assert t_start0 <= 3.0 - 0.25 + 1e-6
     assert t_start0 >= 3.0 - 0.25 - 2 * 4 * step  # within two strides before
     assert k0[1] == n_cand  # miss: fine window empty
+
+
+def test_no_subnormal_int_carriers_in_render(model_and_params):
+    """No int32->f32 BITCAST carriers anywhere in the traced render step.
+
+    Small int32 values bitcast to float32 are subnormals, and TPU hardware
+    flushes subnormals to zero — on device every per-ray timestep/camera
+    index carried that way decodes as 0. CPU preserves denormals, so no
+    numerical CPU test can catch the class; pin the structural invariant
+    instead. (Live failure: 9,400 flagship dynamic steps on TPU in which
+    time-embedding rows 1..15 accumulated bitwise-zero Adam moments because
+    render_rays packed timesteps into the compaction row-gather via
+    lax.bitcast_convert_type; every dynamic run since round 2 trained a
+    static mean-scene fit as a result.)"""
+    model, params = model_and_params
+    rays = make_rays(16, np.random.default_rng(3))
+    binaries = jnp.ones((16, 16, 16), bool)
+
+    def step(p, r):
+        return model.render_rays(p, r, binaries, SCHED,
+                                 rng=jax.random.PRNGKey(0), train=True)["rgb"]
+
+    jaxpr = jax.make_jaxpr(step)(params, rays)
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            if eqn.primitive.name == "bitcast_convert_type":
+                (invar,) = eqn.invars
+                # signed ints only: jax.random legitimately bitcasts uint32
+                # mantissa bits -> f32 AFTER setting the exponent bits, which
+                # can never produce a subnormal
+                if (jnp.issubdtype(invar.aval.dtype, jnp.signedinteger)
+                        and jnp.issubdtype(eqn.outvars[0].aval.dtype,
+                                           jnp.floating)):
+                    raise AssertionError(
+                        f"int->float bitcast carrier in render step: {eqn}")
+            for sub in eqn.params.values():
+                if hasattr(sub, "jaxpr"):
+                    walk(sub.jaxpr)
+                if isinstance(sub, (list, tuple)):
+                    for s in sub:
+                        if hasattr(s, "jaxpr"):
+                            walk(s.jaxpr)
+    walk(jaxpr.jaxpr)
+
+
+def test_every_timestep_row_gets_gradient_through_budget_path():
+    """EVERY time-embedding row present in the batch receives gradient when
+    the global-budget compaction path is active (per-row — the aggregate
+    check in test_losses_and_gradients passes even if only row 0 trains,
+    which is exactly what the TPU subnormal-flush bug produced)."""
+    from nersemble_tpu.config import SamplingConfig
+
+    cfg = tiny_model_config(sampling=SamplingConfig(
+        max_samples_per_ray=32, max_candidates_per_ray=80,
+        global_budget_fraction=0.25))
+    model = NeRSembleModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    rays = make_rays(64, rng)
+    # every timestep appears in the batch
+    assert (np.bincount(np.asarray(rays["timesteps"]), minlength=3) > 0).all()
+    batch = {
+        "rgb": jnp.asarray(rng.uniform(size=(64, 3)).astype(np.float32)),
+        "alpha": jnp.asarray(rng.uniform(size=64).astype(np.float32)),
+        "depth": jnp.asarray(rng.uniform(2.5, 3.5, 64).astype(np.float32)),
+    }
+    binaries = jnp.ones((16, 16, 16), bool)
+
+    def loss_fn(p):
+        out = model.render_rays(p, rays, binaries, SCHED,
+                                rng=jax.random.PRNGKey(2), train=True)
+        return sum(model.compute_losses(out, batch, SCHED, train=True).values())
+
+    g = jax.grad(loss_fn)(params)
+    te_rows = np.abs(np.asarray(g["time_embedding"])).sum(axis=1)
+    ted_rows = np.abs(np.asarray(g["time_embedding_deformation"])).sum(axis=1)
+    assert (te_rows > 0).all(), f"time_embedding rows without gradient: {te_rows}"
+    assert (ted_rows > 0).all(), \
+        f"time_embedding_deformation rows without gradient: {ted_rows}"
