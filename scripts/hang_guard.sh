@@ -11,15 +11,20 @@
 # checkpoint saves (~290 s), all-image evals (~90 s), and a cold resume
 # (checkpoint reload over the tunnel + remote recompile, ~20 min observed).
 #
-# Usage: hang_guard.sh <watchdog_pid> <metrics.jsonl path> [stale_minutes]
+# Usage: hang_guard.sh <watchdog_pid> <metrics.jsonl path-or-glob> [stale_minutes]
+# A glob (quoted!) is re-resolved to the newest matching file every cycle, so
+# the guard keeps tracking the live run when the watchdog starts a FRESH run
+# dir after a pre-first-checkpoint crash (a pinned path would go permanently
+# stale and the guard would then kill the healthy new trainer forever).
 set -u
-wd_pid=$1; metrics=$2; stale_min=${3:-35}
+wd_pid=$1; metrics_pat=$2; stale_min=${3:-35}
 
 children_of() { cat /proc/$1/task/*/children 2>/dev/null; }
 
 while kill -0 "$wd_pid" 2>/dev/null; do
     sleep 300
-    [ -f "$metrics" ] || continue
+    metrics=$(ls -t $metrics_pat 2>/dev/null | head -1)
+    [ -n "$metrics" ] && [ -f "$metrics" ] || continue
     age=$(( $(date +%s) - $(stat -c %Y "$metrics") ))
     if [ "$age" -gt $((stale_min * 60)) ]; then
         for child in $(children_of "$wd_pid"); do

@@ -40,20 +40,20 @@ bash scripts/quality_watchdog.sh static 8000 "$PWD/QUALITY_r5.json" \
     --texture-style sharp --eval-every 500 \
     > "$ART/static_sharp_train.log" 2>&1 &
 carve_wd=$!
-(
-    m=""
-    for _ in $(seq 1 60); do
-        sleep 30
-        m=$(ls -t "$NERSEMBLE_MODELS_PATH"/nersemble/*quality-static-sharp*/metrics.jsonl 2>/dev/null | head -1)
-        [ -n "$m" ] && break
-    done
-    [ -n "$m" ] && bash scripts/hang_guard.sh "$carve_wd" "$m"
-) > "$ART/hang_guard_sharp.log" 2>&1 &
+bash scripts/hang_guard.sh "$carve_wd" \
+    "$NERSEMBLE_MODELS_PATH/nersemble/*quality-static-sharp*/metrics.jsonl" \
+    > "$ART/hang_guard_sharp.log" 2>&1 &
 wait "$carve_wd"
 log "static-sharp run rc=$?"
 
 sharp_run=$(ls -d "$NERSEMBLE_MODELS_PATH"/nersemble/*quality-static-sharp \
             2>/dev/null | sort | tail -1 | xargs -r basename)
+# newest dynamic flagship run (the timestep-carrier-fixed relaunch creates a
+# fresh run dir after NERS-001, whose 9.4k steps trained under the subnormal
+# bug and are kept only as evidence)
+dyn_run=$(ls -d "$NERSEMBLE_MODELS_PATH"/nersemble/*quality-dynamic* \
+          2>/dev/null | sort | tail -1 | xargs -r basename)
+dyn_run=${dyn_run:-NERS-001-quality-dynamic}
 
 # -- 2. render fps at reference scale ---------------------------------------
 if [ -n "$sharp_run" ]; then
@@ -63,15 +63,15 @@ if [ -n "$sharp_run" ]; then
         > "$ART/render_sharp.json" 2> "$ART/render_sharp.err"
     log "render bench (sharp) rc=$?"
 fi
-log "render bench on NERS-001-quality-dynamic (adversarial fog/deform case)"
-python scripts/bench_render.py --run NERS-001-quality-dynamic \
+log "render bench on $dyn_run (dynamic/deformation case)"
+python scripts/bench_render.py --run "$dyn_run" \
     --resolution 802 550 --frames 4 \
     > "$ART/render_dynamic.json" 2> "$ART/render_dynamic.err"
 log "render bench (dynamic) rc=$?"
 
 # -- 3. evaluate CLI end-to-end on both checkpoints --------------------------
-log "evaluate CLI on NERS-001-quality-dynamic"
-python -m nersemble_tpu.scripts.evaluate_nersemble NERS-001-quality-dynamic \
+log "evaluate CLI on $dyn_run"
+python -m nersemble_tpu.scripts.evaluate_nersemble "$dyn_run" \
     > "$ART/evaluate_dynamic.log" 2>&1
 log "evaluate (dynamic) rc=$?"
 if [ -n "$sharp_run" ]; then
@@ -82,9 +82,9 @@ if [ -n "$sharp_run" ]; then
 fi
 
 # -- 4. v5e-8 projection at the dynamic run's converged operating point ------
-log "projection from NERS-001-quality-dynamic"
+log "projection from $dyn_run"
 python scripts/bench_projection.py \
-    --from-run "$NERSEMBLE_MODELS_PATH/nersemble/NERS-001-quality-dynamic" \
+    --from-run "$NERSEMBLE_MODELS_PATH/nersemble/$dyn_run" \
     > "$ART/projection_dynamic.json" 2> "$ART/projection_dynamic.err"
 log "projection rc=$?"
 
@@ -125,7 +125,7 @@ proj = load(f"{ART}/projection_dynamic.json")
 with open("PROJECTION_r05.json", "w") as f:
     json.dump(proj, f, indent=2)
 
-for tag, pat in [("dynamic", f"{MODELS}/nersemble/NERS-001-quality-dynamic"),
+for tag, pat in [("dynamic", f"{MODELS}/nersemble/*quality-dynamic*"),
                  ("sharp", f"{MODELS}/nersemble/*quality-static-sharp*")]:
     dirs = sorted(glob.glob(pat))
     if not dirs:
