@@ -167,10 +167,15 @@ def test_quality_study_args_build_valid_models():
     from nersemble_tpu.models.nersemble import NeRSembleModel
     from nersemble_tpu.scripts.train_nersemble import build_config, build_parser
 
-    for mode, n_tables in [("static", 16), ("dynamic", 16), ("dynamic", 32)]:
-        argv = build_train_args(mode, 12000, "SYN-Q", 500, n_tables=n_tables)
+    for mode, n_tables, suffix in [("static", 16, ""), ("dynamic", 16, ""),
+                                   ("dynamic", 32, ""),
+                                   ("static", 16, "-sharp")]:
+        argv = build_train_args(mode, 12000, "SYN-Q", 500, n_tables=n_tables,
+                                run_suffix=suffix)
         args = build_parser().parse_args(argv)
         config = build_config(args, "run", "/tmp")
+        if suffix:
+            assert args.name.endswith(suffix)
         if mode == "dynamic":
             assert config.model.latent_dim_time \
                 == config.model.hash_ensemble.n_hash_encodings == n_tables
