@@ -35,8 +35,8 @@ sleep 30  # let the device settle after the long run
 # watchdog only handles a trainer that EXITS; a wedged tunnel would stall
 # this whole chain silently without the guard (same failure mode the
 # flagship run guards against).
-log "static-sharp carve run (8000 steps)"
-bash scripts/quality_watchdog.sh static 8000 "$PWD/QUALITY_r5.json" \
+log "static-sharp carve run (6000 steps)"
+bash scripts/quality_watchdog.sh static 6000 "$PWD/QUALITY_r5.json" \
     --texture-style sharp --eval-every 500 \
     > "$ART/static_sharp_train.log" 2>&1 &
 carve_wd=$!
