@@ -68,6 +68,7 @@ python scripts/bench_render.py --run "$dyn_run" \
     --resolution 802 550 --frames 4 \
     > "$ART/render_dynamic.json" 2> "$ART/render_dynamic.err"
 log "render bench (dynamic) rc=$?"
+python scripts/curate_r5.py
 
 # -- 3. evaluate CLI end-to-end on both checkpoints --------------------------
 log "evaluate CLI on $dyn_run"
@@ -80,6 +81,7 @@ if [ -n "$sharp_run" ]; then
         > "$ART/evaluate_sharp.log" 2>&1
     log "evaluate (sharp) rc=$?"
 fi
+python scripts/curate_r5.py
 
 # -- 4. v5e-8 projection at the dynamic run's converged operating point ------
 log "projection from $dyn_run"
@@ -88,54 +90,12 @@ python scripts/bench_projection.py \
     > "$ART/projection_dynamic.json" 2> "$ART/projection_dynamic.err"
 log "projection rc=$?"
 
-# -- 5. curate artifacts into the repo ---------------------------------------
-# The driver commits uncommitted work at round end; landing curated
-# artifacts at the repo root here means nothing is lost even if no session
-# is alive to curate by hand.
+# -- 5. final curation into the repo ------------------------------------------
+# scripts/curate_r5.py is idempotent and also runs after every stage above,
+# so a round boundary mid-pipeline loses at most the stage in flight; the
+# driver commits whatever is curated.
 log "curating artifacts into the repo"
-python - <<'PY'
-import json, shutil, glob, os
-ART = "/tmp/r5_artifacts"
-MODELS = os.environ.get("NERSEMBLE_MODELS_PATH", "/tmp/ns_quality_models")
-
-def load(p):
-    try:
-        with open(p) as f:
-            txt = f.read().strip()
-        # bench scripts print one JSON line (possibly after warmup noise)
-        for line in reversed(txt.splitlines()):
-            line = line.strip()
-            if line.startswith("{"):
-                return json.loads(line)
-    except Exception as e:
-        return {"error": f"{type(e).__name__}: {e}", "source": p}
-    return {"error": "no JSON line", "source": p}
-
-render = {"protocol": "802x550, same as RENDER_r04; sharp = carved "
-                      "checkpoint (VERDICT r4 #4), dynamic = adversarial "
-                      "fog/deformation case"}
-sharp = load(f"{ART}/render_sharp.json")
-if "error" not in sharp or os.path.exists(f"{ART}/render_sharp.json"):
-    render["sharp"] = sharp
-render["dynamic"] = load(f"{ART}/render_dynamic.json")
-with open("RENDER_r05.json", "w") as f:
-    json.dump(render, f, indent=2)
-
-proj = load(f"{ART}/projection_dynamic.json")
-with open("PROJECTION_r05.json", "w") as f:
-    json.dump(proj, f, indent=2)
-
-for tag, pat in [("dynamic", f"{MODELS}/nersemble/*quality-dynamic*"),
-                 ("sharp", f"{MODELS}/nersemble/*quality-static-sharp*")]:
-    dirs = sorted(glob.glob(pat))
-    if not dirs:
-        continue
-    hits = sorted(glob.glob(f"{dirs[-1]}/evaluation/*/evaluation_result.json"))
-    if hits:
-        shutil.copy(hits[-1], f"EVALUATION_r5_{tag}.json")
-        print(f"curated EVALUATION_r5_{tag}.json <- {hits[-1]}")
-print("curation done")
-PY
+python scripts/curate_r5.py
 log "curation rc=$?"
 
 log "pipeline complete; artifacts in $ART + repo root"
