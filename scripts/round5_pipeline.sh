@@ -70,7 +70,15 @@ python scripts/bench_render.py --run "$dyn_run" \
 log "render bench (dynamic) rc=$?"
 python scripts/curate_r5.py
 
-# -- 3. evaluate CLI end-to-end on both checkpoints --------------------------
+# -- 3. v5e-8 projection at the dynamic run's converged operating point ------
+log "projection from $dyn_run"
+python scripts/bench_projection.py \
+    --from-run "$NERSEMBLE_MODELS_PATH/nersemble/$dyn_run" \
+    > "$ART/projection_dynamic.json" 2> "$ART/projection_dynamic.err"
+log "projection rc=$?"
+python scripts/curate_r5.py
+
+# -- 4. evaluate CLI end-to-end on both checkpoints --------------------------
 log "evaluate CLI on $dyn_run"
 python -m nersemble_tpu.scripts.evaluate_nersemble "$dyn_run" \
     > "$ART/evaluate_dynamic.log" 2>&1
@@ -82,13 +90,6 @@ if [ -n "$sharp_run" ]; then
     log "evaluate (sharp) rc=$?"
 fi
 python scripts/curate_r5.py
-
-# -- 4. v5e-8 projection at the dynamic run's converged operating point ------
-log "projection from $dyn_run"
-python scripts/bench_projection.py \
-    --from-run "$NERSEMBLE_MODELS_PATH/nersemble/$dyn_run" \
-    > "$ART/projection_dynamic.json" 2> "$ART/projection_dynamic.err"
-log "projection rc=$?"
 
 # -- 5. final curation into the repo ------------------------------------------
 # scripts/curate_r5.py is idempotent and also runs after every stage above,
