@@ -118,19 +118,42 @@ def save_checkpoint(path, step: int, params, opt_state, grid_occs,
     os.replace(tmp, path)
 
 
-def load_checkpoint(path, params_template, opt_state_template, grid_occs_template):
+def _host_skeleton(tree):
+    """Shape/dtype skeleton of a (possibly device-resident) pytree.
+
+    ``_unflatten_into`` reads only structure, ``.shape`` and ``.dtype`` from
+    its template — never values — so restoring against a
+    ``jax.ShapeDtypeStruct`` skeleton is equivalent to restoring against
+    ``jax.device_get(tree)`` while moving ZERO bytes. Over the axon tunnel
+    (~19 MB/s) the device_get of the flagship params + Adam templates was
+    ~5 GB of pointless download (~4-8 min of every evaluate/render/resume
+    cold start)."""
+    return jax.tree_util.tree_map(
+        lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype)
+        if hasattr(l, "dtype") and hasattr(l, "shape") else l, tree)
+
+
+def load_checkpoint(path, params_template, opt_state_template,
+                    grid_occs_template, load_opt: bool = True):
     """Returns (step, params, opt_state, grid_occs, extra) — ``extra`` is the
     free-form scalar dict passed to :func:`save_checkpoint` (empty for
     checkpoints written before it existed)."""
     with np.load(Path(path), allow_pickle=False) as data:
         flat = {k: data[k] for k in data.files}
     step = int(flat["step"])
-    params = _unflatten_into(jax.device_get(params_template), flat, "params/")
-    opt_tree = _unflatten_into(
-        jax.device_get(_opt_state_to_tree(opt_state_template)), flat, "opt_state/")
-    opt_state = _tree_to_opt_state(opt_state_template, opt_tree)
+    params = _unflatten_into(_host_skeleton(params_template), flat, "params/")
+    if load_opt:
+        opt_tree = _unflatten_into(
+            _host_skeleton(_opt_state_to_tree(opt_state_template)), flat,
+            "opt_state/")
+        opt_state = _tree_to_opt_state(opt_state_template, opt_tree)
+    else:
+        # eval-only restore: the caller never reads optimizer state — hand
+        # back the (device-resident, zero) template untouched instead of
+        # unflattening + re-uploading ~3.3 GB of Adam moments
+        opt_state = opt_state_template
     grid_occs = np.asarray(flat["grid_occs"],
-                           dtype=np.asarray(grid_occs_template).dtype)
+                           dtype=grid_occs_template.dtype)
     extra = {k[len("extra/"):]: flat[k] for k in flat
              if k.startswith("extra/") and "__" not in k}
     return step, params, opt_state, grid_occs, extra

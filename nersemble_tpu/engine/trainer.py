@@ -48,7 +48,12 @@ OCC_UPDATE_EVERY = 16
 class NeRSembleTrainer:
     def __init__(self, config: TrainConfig, model_manager=None,
                  data_location: Optional[str] = None,
-                 original_image_size=None, writer: Optional[MetricsWriter] = None):
+                 original_image_size=None, writer: Optional[MetricsWriter] = None,
+                 eval_only: bool = False):
+        # eval_only: checkpoint restore skips the optimizer state (evaluate/
+        # render/view CLIs never step the optimizer) — over the slow axon
+        # tunnel that is ~3.3 GB of Adam moments not uploaded at startup
+        self._eval_only = eval_only
         self.config = config
         self.model_manager = model_manager
         self.run_dir = Path(model_manager.get_location()) if model_manager \
@@ -962,9 +967,11 @@ class NeRSembleTrainer:
                 raise FileNotFoundError(f"No checkpoints in {load_dir}")
             path = load_dir / f"step-{steps[-1]:09d}.ckpt"
         step, params, opt_state, grid_occs, extra = checkpoints.load_checkpoint(
-            path, self.params, self.opt_state, self.grid_occs)
+            path, self.params, self.opt_state, self.grid_occs,
+            load_opt=not self._eval_only)
         self.params = jax.device_put(params, self.param_shardings)
-        self.opt_state = jax.device_put(opt_state, self.opt_shardings)
+        if not self._eval_only:
+            self.opt_state = jax.device_put(opt_state, self.opt_shardings)
         self.grid_occs = jnp.asarray(grid_occs)
         self.start_step = step + 1
         if int(extra.get("sample_budget", 0)) > 0:

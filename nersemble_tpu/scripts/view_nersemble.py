@@ -45,7 +45,8 @@ def main(argv=None, data_location=None, original_image_size=None,
 
     trainer = NeRSembleTrainer(config, model_manager=manager,
                                data_location=data_location,
-                               original_image_size=original_image_size)
+                               original_image_size=original_image_size,
+                               eval_only=True)
     checkpoint = trainer.start_step - 1
 
     if args.use_occupancy_grid_filtering \

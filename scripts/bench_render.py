@@ -80,7 +80,8 @@ def main():
     config.load_dir = manager.get_checkpoint_folder()
     config.vis = "none"
     trainer = NeRSembleTrainer(config, model_manager=manager,
-                               data_location=args.data_root)
+                               data_location=args.data_root,
+                               eval_only=True)
     checkpoint = trainer.start_step - 1
 
     if not args.no_cc_filter and not config.model.disable_occupancy_grid:
